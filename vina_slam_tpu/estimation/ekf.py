@@ -1,0 +1,251 @@
+"""Error-state EKF forward propagation + motion deskew.
+
+Reference: src/estimation/imu_ekf.cpp. The per-IMU-interval midpoint
+integration and 15x15 covariance propagation (imu_ekf.cpp:66-85) become a
+lax.scan over a fixed-size interval bucket; the backward per-point deskew
+loop (imu_ekf.cpp:111-144) becomes a vectorized gather into the pose table
+(one searchsorted + fused pose compose per point). The static gravity init
+(imu_ekf.cpp:147-201) is trivial host arithmetic.
+
+Dtype policy: pose/cov propagation in f64 (tiny), per-point deskew in f32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vina_slam_tpu.core import so3
+from vina_slam_tpu.core.constants import DIM, G_M_S2, IMU_BUCKET
+from vina_slam_tpu.core.state import NavState
+from vina_slam_tpu.sensor.sync import ImuBlock
+
+
+class LidarTimeRegression(RuntimeError):
+    """Scan begins >10 ms before the previous scan ended
+    (reference hard-exits, imu_ekf.cpp:19-24)."""
+
+
+@partial(jax.jit, static_argnames=())
+def _propagate(
+    R0, p0, v0, cov0, bg, ba, g,
+    avr_gyr, avr_acc, dt, offt, valid,
+    cov_gyr, cov_acc, cov_bg, cov_ba,
+    scale_gravity, end_minus_last_offt,
+):
+    """Scan over IMU intervals. Returns terminal (R, p, v, cov) extrapolated
+    to scan end and the pose table (imu_poses analog) at interval starts.
+    All f64. Shapes: [K] interval arrays, masked by `valid`.
+    """
+    def body(carry, inp):
+        R, p, v, cov = carry
+        w_avr, a_avr, dti, vld = inp
+        w = w_avr - bg
+        a = a_avr * scale_gravity - ba
+        acc_w = R @ a + g
+
+        # pose-table entry BEFORE integrating this interval (imu_ekf.cpp:63)
+        entry = (R, p, v, w, acc_w)
+
+        F = jnp.eye(DIM, dtype=R.dtype)
+        F = F.at[0:3, 0:3].set(so3.exp(-w * dti))
+        F = F.at[0:3, 9:12].set(-jnp.eye(3, dtype=R.dtype) * dti)
+        F = F.at[3:6, 6:9].set(jnp.eye(3, dtype=R.dtype) * dti)
+        F = F.at[6:9, 0:3].set(-R @ so3.hat(a) * dti)
+        F = F.at[6:9, 12:15].set(-R * dti)
+        Q = jnp.zeros((DIM, DIM), R.dtype)
+        Q = Q.at[0:3, 0:3].set(jnp.diag(cov_gyr) * dti * dti)
+        Q = Q.at[6:9, 6:9].set(R @ jnp.diag(cov_acc) @ R.T * dti * dti)
+        Q = Q.at[9:12, 9:12].set(jnp.diag(cov_bg) * dti * dti)
+        Q = Q.at[12:15, 12:15].set(jnp.diag(cov_ba) * dti * dti)
+        cov_n = F @ cov @ F.T + Q
+
+        p_n = p + v * dti + 0.5 * acc_w * dti * dti
+        v_n = v + acc_w * dti
+        R_n = R @ so3.exp(w * dti)
+
+        m = vld.astype(R.dtype)
+        R = jnp.where(vld, R_n, R)
+        p = p * (1 - m) + p_n * m
+        v = v * (1 - m) + v_n * m
+        cov = cov * (1 - m) + cov_n * m
+        return (R, p, v, cov), entry + (w, acc_w)
+
+    (R, p, v, cov), poses = jax.lax.scan(
+        body, (R0, p0, v0, cov0), (avr_gyr, avr_acc, dt, valid)
+    )
+    # terminal extrapolation to scan end (imu_ekf.cpp:88-94): signed dt from
+    # the last IMU stamp to pcl_end_time, using the final interval's w/a.
+    last_idx = jnp.maximum(jnp.sum(valid) - 1, 0)
+    w_last = poses[5][last_idx]
+    a_last = poses[6][last_idx]
+    dte = end_minus_last_offt
+    v_end = v + a_last * dte
+    R_end = R @ so3.exp(w_last * dte)
+    p_end = p + v * dte + 0.5 * a_last * dte * dte
+    pose_table = tuple(poses[:5])  # (R[K,3,3], p[K,3], v[K,3], w[K,3], acc[K,3])
+    return R_end, p_end, v_end, cov, pose_table
+
+
+@jax.jit
+def _deskew(pts, rel_time, valid_pts, pose_table, offt, n_valid, R_end, p_end, ext_R, ext_p):
+    """Backward deskew into the scan-end LiDAR frame (imu_ekf.cpp:111-144),
+    vectorized: per point find its covering interval, compose the pose at its
+    stamp, and map through the extrinsic. Points earlier than the first pose
+    entry keep their raw coordinates (reference loop never reaches them)."""
+    Rt, pt, vt, wt, at = pose_table
+    f32 = pts.dtype
+    # idx of last pose with offt <= t  (reference: curvature > head.t);
+    # padded tail is pushed to +inf so searchsorted sees a sorted array
+    k_ids = jnp.arange(offt.shape[0])
+    offt_s = jnp.where(k_ids < n_valid, offt, jnp.inf)
+    idx = jnp.searchsorted(offt_s, rel_time.astype(offt.dtype), side="right") - 1
+    idx_c = jnp.clip(idx, 0, offt.shape[0] - 1)
+    # only compensate where a pose entry exists and is within the valid range
+    compensate = (idx >= 0) & (idx < n_valid) & valid_pts
+
+    dt = (rel_time - offt[idx_c]).astype(jnp.float64)
+    R_i = Rt[idx_c] @ so3.exp(wt[idx_c] * dt[:, None])
+    T_ei = pt[idx_c] + vt[idx_c] * dt[:, None] + 0.5 * at[idx_c] * dt[:, None] ** 2 - p_end
+
+    P = pts.astype(jnp.float64)
+    P_imu = P @ ext_R.T + ext_p
+    P_w_rel = jnp.einsum("nij,nj->ni", R_i, P_imu) + T_ei
+    P_endimu = P_w_rel @ R_end  # == R_end^T applied row-wise
+    P_out = (P_endimu - ext_p) @ ext_R
+    out = jnp.where(compensate[:, None], P_out, P)
+    return out.astype(f32)
+
+
+@dataclass
+class ImuEkf:
+    """Host wrapper holding the (tiny) mutable stream state; all math is in
+    the jitted pure functions above."""
+
+    cov_gyr: np.ndarray
+    cov_acc: np.ndarray
+    cov_bias_gyr: np.ndarray
+    cov_bias_acc: np.ndarray
+    ext_R: np.ndarray
+    ext_p: np.ndarray
+    point_notime: bool = False
+    min_init_num: int = 30
+
+    init_flag: bool = False
+    init_num: int = 0
+    mean_acc: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    mean_gyr: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    scale_gravity: float = 1.0
+    last_imu: tuple | None = None   # (t, gyr, acc)
+    last_pcl_end_time: float = -1.0
+
+    def imu_init(self, imu: ImuBlock):
+        """Running mean of acc/gyr (imu_ekf.cpp:147-172)."""
+        for k in range(imu.t.shape[0]):
+            if self.init_num == 0:
+                self.mean_acc = imu.acc[k].copy()
+                self.mean_gyr = imu.gyr[k].copy()
+                self.init_num = 1
+            else:
+                self.mean_acc += (imu.acc[k] - self.mean_acc) / self.init_num
+                self.mean_gyr += (imu.gyr[k] - self.mean_gyr) / self.init_num
+            self.init_num += 1
+        self.last_imu = (imu.t[-1], imu.gyr[-1].copy(), imu.acc[-1].copy())
+
+    def process(self, x: NavState, pts, rel_time, beg_time, end_time, imu: ImuBlock):
+        """Full process() (imu_ekf.cpp:174-201).
+
+        Returns (status, x_new, deskewed_pts, cond_imu) where status=0 means
+        still initializing (frame skipped). cond_imu is the stamp-conditioned
+        IMU block the preintegration must consume (imu_ekf.cpp:96-106).
+        """
+        if not self.init_flag:
+            self.imu_init(imu)
+            if np.linalg.norm(self.mean_acc) < 2:
+                self.scale_gravity = G_M_S2
+            x = x._replace(g=jnp.asarray(-self.mean_acc * self.scale_gravity))
+            if self.init_num > self.min_init_num:
+                self.init_flag = True
+            self.last_pcl_end_time = end_time
+            return 0, x, pts, imu
+
+        if self.last_pcl_end_time - beg_time > 0.01:
+            raise LidarTimeRegression(
+                f"LiDAR time regress: beg={beg_time} last_end={self.last_pcl_end_time}"
+            )
+
+        # ---- build interval arrays (host; ~20 samples) ----
+        ts = np.concatenate([[self.last_imu[0]], imu.t])
+        gs = np.concatenate([[self.last_imu[1]], imu.gyr])
+        accs = np.concatenate([[self.last_imu[2]], imu.acc])
+
+        avr_g, avr_a, dts, offts = [], [], [], []
+        for i in range(len(ts) - 1):
+            if ts[i] < self.last_pcl_end_time - 1e-12:
+                continue
+            cur = max(ts[i], self.last_pcl_end_time)
+            avr_g.append(0.5 * (gs[i] + gs[i + 1]))
+            avr_a.append(0.5 * (accs[i] + accs[i + 1]))
+            dts.append(ts[i + 1] - cur)
+            offts.append(cur - beg_time)
+        K = IMU_BUCKET
+        n = len(dts)
+        if n == 0:
+            return 0, x, pts, imu
+        if n > K:
+            raise RuntimeError(f"IMU bucket overflow: {n} > {K}")
+
+        def pad(a, shape):
+            out = np.zeros((K,) + shape)
+            out[:n] = a
+            return jnp.asarray(out)
+
+        valid = jnp.asarray(np.arange(K) < n)
+        end_minus_last = end_time - ts[-1]
+        note = 1.0 if end_time > ts[-1] else -1.0
+        # reference computes dt = note*(end-imu_end) then applies with note:
+        # net effect is the signed offset end-imu_end applied directly.
+        del note
+
+        R_end, p_end, v_end, cov, pose_table = _propagate(
+            x.R.astype(jnp.float64), x.p.astype(jnp.float64), x.v.astype(jnp.float64),
+            x.cov.astype(jnp.float64), x.bg.astype(jnp.float64), x.ba.astype(jnp.float64),
+            x.g.astype(jnp.float64),
+            pad(np.stack(avr_g), (3,)), pad(np.stack(avr_a), (3,)),
+            pad(np.asarray(dts), ()), pad(np.asarray(offts), ()), valid,
+            jnp.asarray(self.cov_gyr), jnp.asarray(self.cov_acc),
+            jnp.asarray(self.cov_bias_gyr), jnp.asarray(self.cov_bias_acc),
+            jnp.asarray(float(self.scale_gravity)), jnp.asarray(end_minus_last),
+        )
+        x_new = x._replace(
+            R=R_end, p=p_end, v=v_end, cov=cov, t=jnp.asarray(float(end_time))
+        )
+
+        # conditioned IMU block for downstream preintegration
+        # (imu_ekf.cpp:96-106: clamp first/last stamps to [last_end, end])
+        cond_t = imu.t.copy()
+        cond_t = np.concatenate([[self.last_pcl_end_time], cond_t])
+        cond_g = np.concatenate([[self.last_imu[1]], imu.gyr])
+        cond_a = np.concatenate([[self.last_imu[2]], imu.acc])
+        cond_t[-1] = end_time
+        cond = ImuBlock(cond_t, cond_g, cond_a)
+
+        self.last_imu = (end_time, imu.gyr[-1].copy(), imu.acc[-1].copy())
+        self.last_pcl_end_time = end_time
+
+        if self.point_notime or pts.shape[0] == 0:
+            return 1, x_new, pts, cond
+
+        offt_arr = pad(np.asarray(offts), ())
+        deskewed = _deskew(
+            jnp.asarray(pts), jnp.asarray(rel_time),
+            jnp.ones(pts.shape[0], bool),
+            pose_table, offt_arr, jnp.asarray(n),
+            R_end, p_end,
+            jnp.asarray(self.ext_R, jnp.float64), jnp.asarray(self.ext_p, jnp.float64),
+        )
+        return 1, x_new, np.asarray(deskewed), cond

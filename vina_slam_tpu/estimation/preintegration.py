@@ -1,0 +1,221 @@
+"""On-manifold IMU preintegration factor.
+
+Reference: src/estimation/imu_preintegration.cpp. The per-sample recursion
+(add_imu, cpp:57-95) runs as a lax.scan over a fixed IMU bucket; the factor
+evaluation give_evaluate / give_evaluate_g (cpp:97-237) is a direct batched
+translation producing the (30x30 / 33x33) JtJ blocks and gradients used by
+the windowed BA. First-order bias correction state (dbg/dba) with rollback
+buffers matches update_state (cpp:239-246). All math f64 (tiny tensors).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vina_slam_tpu.core import so3
+from vina_slam_tpu.core.constants import DIM, IMU_BUCKET
+from vina_slam_tpu.core.state import NavState
+from vina_slam_tpu.sensor.sync import ImuBlock
+
+
+class PreintFactor(NamedTuple):
+    """Batched over leading axes (the window has W-1 factors)."""
+    R_delta: jnp.ndarray  # (..., 3, 3)
+    p_delta: jnp.ndarray  # (..., 3)
+    v_delta: jnp.ndarray  # (..., 3)
+    R_bg: jnp.ndarray     # (..., 3, 3) d(DeltaR)/d(bg)
+    p_bg: jnp.ndarray
+    p_ba: jnp.ndarray
+    v_bg: jnp.ndarray
+    v_ba: jnp.ndarray
+    dtime: jnp.ndarray    # (...,)
+    cov: jnp.ndarray      # (..., 15, 15)
+    dbg: jnp.ndarray      # (..., 3) first-order bias corrections
+    dba: jnp.ndarray
+    dbg_buf: jnp.ndarray  # rollback buffers
+    dba_buf: jnp.ndarray
+
+
+def _zero(dtype=jnp.float64):
+    z3 = jnp.zeros(3, dtype)
+    z33 = jnp.zeros((3, 3), dtype)
+    return PreintFactor(
+        R_delta=jnp.eye(3, dtype=dtype), p_delta=z3, v_delta=z3,
+        R_bg=z33, p_bg=z33, p_ba=z33, v_bg=z33, v_ba=z33,
+        dtime=jnp.zeros((), dtype), cov=jnp.zeros((DIM, DIM), dtype),
+        dbg=z3, dba=z3, dbg_buf=z3, dba_buf=z3,
+    )
+
+
+@jax.jit
+def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, scale_gravity):
+    """lax.scan translation of add_imu (cpp:57-95).
+
+    gyr_mid/acc_mid: (K, 3) midpoint samples; dt: (K,); valid: (K,) mask.
+    bg/ba: linearization-point biases. noise_meas/noise_walk: (6, 6).
+    """
+    f0 = _zero()
+
+    def body(f, inp):
+        gm, am, dti, vld = inp
+        w = gm - bg
+        a = am * scale_gravity - ba
+
+        rot_inc = so3.exp(w * dti)
+        right_jac = so3.jr(w * dti)
+        rot_dt = dti * f.R_delta
+        rot_dt2_half = 0.5 * dti * dti * f.R_delta
+        a_skew = so3.hat(a)
+
+        p_ba = f.p_ba + f.v_ba * dti - rot_dt2_half
+        p_bg = f.p_bg + f.v_bg * dti - rot_dt2_half @ a_skew @ f.R_bg
+        v_ba = f.v_ba - rot_dt
+        v_bg = f.v_bg - rot_dt @ a_skew @ f.R_bg
+        R_bg = rot_inc.T @ f.R_bg - right_jac * dti
+
+        Ja = jnp.eye(9, dtype=jnp.float64)
+        Ja = Ja.at[0:3, 0:3].set(rot_inc.T)
+        Ja = Ja.at[3:6, 0:3].set(-rot_dt2_half @ a_skew)
+        Ja = Ja.at[3:6, 6:9].set(jnp.eye(3) * dti)
+        Ja = Ja.at[6:9, 0:3].set(-rot_dt @ a_skew)
+        Jb = jnp.zeros((9, 6), jnp.float64)
+        Jb = Jb.at[0:3, 0:3].set(right_jac * dti)
+        Jb = Jb.at[3:6, 3:6].set(rot_dt2_half)
+        Jb = Jb.at[6:9, 3:6].set(rot_dt)
+
+        cov99 = Ja @ f.cov[0:9, 0:9] @ Ja.T + Jb @ noise_meas @ Jb.T
+        cov = f.cov.at[0:9, 0:9].set(cov99)
+        cov = cov.at[9:15, 9:15].set(f.cov[9:15, 9:15] + noise_walk * dti)
+
+        p_delta = f.p_delta + f.v_delta * dti + rot_dt2_half @ a
+        v_delta = f.v_delta + rot_dt @ a
+        R_delta = f.R_delta @ rot_inc
+
+        fn = PreintFactor(
+            R_delta=R_delta, p_delta=p_delta, v_delta=v_delta,
+            R_bg=R_bg, p_bg=p_bg, p_ba=p_ba, v_bg=v_bg, v_ba=v_ba,
+            dtime=f.dtime + dti, cov=cov,
+            dbg=f.dbg, dba=f.dba, dbg_buf=f.dbg_buf, dba_buf=f.dba_buf,
+        )
+        f_out = jax.tree_util.tree_map(lambda old, new: jnp.where(vld, new, old), f, fn)
+        return f_out, None
+
+    f, _ = jax.lax.scan(body, f0, (gyr_mid, acc_mid, dt, valid))
+    return f
+
+
+def factor_from_block(imu: ImuBlock, bg, ba, noise_meas, noise_walk, scale_gravity) -> PreintFactor:
+    """push_imu analog (cpp:31-55): midpoint samples from consecutive raw
+    samples of the (stamp-conditioned) block."""
+    K = IMU_BUCKET
+    t, g, a = imu.t, imu.gyr, imu.acc
+    n = len(t) - 1
+    if n > K:
+        raise RuntimeError(f"IMU bucket overflow: {n} > {K}")
+    gm = np.zeros((K, 3))
+    am = np.zeros((K, 3))
+    dt = np.zeros(K)
+    gm[:n] = 0.5 * (g[:-1] + g[1:])
+    am[:n] = 0.5 * (a[:-1] + a[1:])
+    dt[:n] = t[1:] - t[:-1]
+    valid = np.arange(K) < n
+    return build_factor(
+        jnp.asarray(gm), jnp.asarray(am), jnp.asarray(dt), jnp.asarray(valid),
+        jnp.asarray(bg, jnp.float64), jnp.asarray(ba, jnp.float64),
+        jnp.asarray(noise_meas), jnp.asarray(noise_walk),
+        jnp.asarray(float(scale_gravity)),
+    )
+
+
+def evaluate(f: PreintFactor, st1: NavState, st2: NavState, with_gravity: bool = False):
+    """give_evaluate[_g] (cpp:97-237), single factor.
+
+    Returns (cost, joca, jocb, jocg, rr, cov_inv): per-state 15x15 Jacobians
+    (and 15x3 gravity Jacobian if requested), residual and information. The
+    optimizer assembles jtj = J^T cov_inv J itself so lidar/imu/gravity
+    layouts can share one code path. cost = rr^T cov_inv rr (unscaled; the
+    optimizer applies imu_coef and the 0.5).
+    """
+    R_correct = f.R_delta @ so3.exp(f.R_bg @ f.dbg)
+    t_correct = f.p_delta + f.p_bg @ f.dbg + f.p_ba @ f.dba
+    v_correct = f.v_delta + f.v_bg @ f.dbg + f.v_ba @ f.dba
+
+    res_R = R_correct.T @ st1.R.T @ st2.R
+    exp_v = st1.R.T @ (st2.v - st1.v - f.dtime * st1.g)
+    res_v = exp_v - v_correct
+    exp_t = st1.R.T @ (st2.p - st1.p - st1.v * f.dtime - 0.5 * f.dtime**2 * st1.g)
+    res_t = exp_t - t_correct
+
+    rr = jnp.concatenate([
+        so3.log(res_R), res_t, res_v, st2.bg - st1.bg, st2.ba - st1.ba,
+    ])
+    cov_inv = jnp.linalg.inv(f.cov)
+    cost = rr @ cov_inv @ rr
+
+    JR_inv = so3.jr_inv(res_R)
+    eye = jnp.eye(3, dtype=jnp.float64)
+    joca = jnp.zeros((DIM, DIM), jnp.float64)
+    jocb = jnp.zeros((DIM, DIM), jnp.float64)
+
+    joca = joca.at[0:3, 0:3].set(-JR_inv @ st2.R.T @ st1.R)
+    jocb = jocb.at[0:3, 0:3].set(JR_inv)
+    joca = joca.at[0:3, 9:12].set(-JR_inv @ res_R.T @ so3.jr(f.R_bg @ f.dbg) @ f.R_bg)
+
+    joca = joca.at[3:6, 0:3].set(so3.hat(exp_t))
+    joca = joca.at[3:6, 3:6].set(-st1.R.T)
+    joca = joca.at[3:6, 6:9].set(-st1.R.T * f.dtime)
+    joca = joca.at[3:6, 9:12].set(-f.p_bg)
+    joca = joca.at[3:6, 12:15].set(-f.p_ba)
+    jocb = jocb.at[3:6, 3:6].set(st1.R.T)
+
+    joca = joca.at[6:9, 0:3].set(so3.hat(exp_v))
+    joca = joca.at[6:9, 6:9].set(-st1.R.T)
+    joca = joca.at[6:9, 9:12].set(-f.v_bg)
+    joca = joca.at[6:9, 12:15].set(-f.v_ba)
+    jocb = jocb.at[6:9, 6:9].set(st1.R.T)
+
+    joca = joca.at[9:12, 9:12].set(-eye)
+    joca = joca.at[12:15, 12:15].set(-eye)
+    jocb = jocb.at[9:12, 9:12].set(eye)
+    jocb = jocb.at[12:15, 12:15].set(eye)
+
+    if with_gravity:
+        jocg = jnp.zeros((DIM, 3), jnp.float64)
+        jocg = jocg.at[3:6, 0:3].set(st1.R.T * (-0.5 * f.dtime**2))
+        jocg = jocg.at[6:9, 0:3].set(st1.R.T * (-f.dtime))
+    else:
+        jocg = None
+    return cost, joca, jocb, jocg, rr, cov_inv
+
+
+def update_bias_state(f: PreintFactor, dxi_first15: jnp.ndarray) -> PreintFactor:
+    """update_state (cpp:239-246): stash rollback buffers, apply first-order
+    bias increments of the FIRST state of the factor edge."""
+    return f._replace(
+        dbg_buf=f.dbg, dba_buf=f.dba,
+        dbg=f.dbg + dxi_first15[9:12], dba=f.dba + dxi_first15[12:15],
+    )
+
+
+def rollback_bias_state(f: PreintFactor) -> PreintFactor:
+    """Rejected-LM-step rollback (optimizers.cpp:507-511)."""
+    return f._replace(dbg=f.dbg_buf, dba=f.dba_buf)
+
+
+def naive_integrate(imu_t, gyr, acc, bg, ba, scale_gravity=1.0):
+    """NumPy oracle: direct midpoint integration of DeltaR/Dv/Dp for tests."""
+    R = np.eye(3)
+    v = np.zeros(3)
+    p = np.zeros(3)
+    for i in range(len(imu_t) - 1):
+        dt = imu_t[i + 1] - imu_t[i]
+        w = 0.5 * (gyr[i] + gyr[i + 1]) - bg
+        a = 0.5 * (acc[i] + acc[i + 1]) * scale_gravity - ba
+        p = p + v * dt + 0.5 * dt * dt * (R @ a)
+        v = v + R @ a * dt
+        R = R @ np.asarray(so3.exp(jnp.asarray(w * dt)))
+    return R, p, v

@@ -1,0 +1,278 @@
+"""Sliding-window bundle-adjustment optimizers (damped Levenberg-Marquardt).
+
+Reference: src/mapping/optimizers.cpp — three LM drivers sharing one
+trust-region policy (Nielsen mu-update u *= max(1/3, 1-(2q-1)^3),
+optimizers.cpp:144-160):
+  * Lidar_BA_Optimizer        — 6-DoF/frame, lidar factor only (cpp:12-167)
+  * LI_BA_Optimizer           — 15-DoF/frame, lidar(+normal)+IMU (cpp:169-594)
+  * LI_BA_OptimizerGravity    — adds a shared 3-dim gravity column (cpp:627-826)
+
+TPU design: the reference's 4-5 thread Hessian fan-out becomes the batched
+factor kernels in factors.py; the LM loop is a lax.while_loop whose carry
+holds (poses, damping, residual, bias-correction state); the 150x150 (or
+153x153) gauge-fixed solve runs in f64 via jnp.linalg.solve. IMU factor
+blocks are assembled with a statically unrolled loop over the W-1 window
+edges. Rejected steps roll back the preintegration bias corrections
+(optimizers.cpp:507-511).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vina_slam_tpu.core import so3
+from vina_slam_tpu.core.constants import DIM
+from vina_slam_tpu.core.state import NavState
+from vina_slam_tpu.estimation import preintegration as pre
+from vina_slam_tpu.mapping import factors as fx
+
+
+class WindowPoses(NamedTuple):
+    """The optimized window variables (a batched 15-DoF state + shared g)."""
+    R: jnp.ndarray   # (W, 3, 3)
+    p: jnp.ndarray   # (W, 3)
+    v: jnp.ndarray   # (W, 3)
+    bg: jnp.ndarray  # (W, 3)
+    ba: jnp.ndarray  # (W, 3)
+    g: jnp.ndarray   # (3,) shared gravity
+
+
+def from_states(xs: NavState) -> WindowPoses:
+    return WindowPoses(R=xs.R, p=xs.p, v=xs.v, bg=xs.bg, ba=xs.ba,
+                       g=xs.g[0] if xs.g.ndim == 2 else xs.g)
+
+
+def _imu_assemble(pre_f: pre.PreintFactor, w: WindowPoses, W: int,
+                  with_gravity: bool, jac: bool):
+    """Evaluate all W-1 preintegration edges and assemble their JtJ/Jtr into
+    the (W*DIM [+3]) system (optimizers.cpp:215-231, 671-683)."""
+    L = W * DIM + (3 if with_gravity else 0)
+    H = jnp.zeros((L, L), jnp.float64)
+    g = jnp.zeros((L,), jnp.float64)
+    res = jnp.zeros((), jnp.float64)
+
+    def mk_state(i):
+        return NavState(t=jnp.zeros(()), R=w.R[i], p=w.p[i], v=w.v[i],
+                        bg=w.bg[i], ba=w.ba[i], g=w.g,
+                        cov=jnp.zeros((DIM, DIM)))
+
+    def edge(i, f_i):
+        return pre.evaluate(f_i, mk_state(i), mk_state(i + 1),
+                            with_gravity=with_gravity)
+
+    # vmap over edges (factor pytree is batched on axis 0)
+    idx = jnp.arange(W - 1)
+    cost, joca, jocb, jocg, rr, cov_inv = jax.vmap(edge)(idx, pre_f)
+    res = jnp.sum(cost)
+    if not jac:
+        return res, H, g
+
+    if with_gravity:
+        joc = jnp.concatenate([joca, jocb, jocg], axis=-1)   # (W-1, 15, 33)
+    else:
+        joc = jnp.concatenate([joca, jocb], axis=-1)         # (W-1, 15, 30)
+    jtj = jnp.einsum("eki,ekl,elj->eij", joc, cov_inv, joc)
+    jtr = jnp.einsum("eki,ekl,el->ei", joc, cov_inv, rr)
+
+    for i in range(W - 1):  # static unroll: W-1 block-placements
+        H = H.at[i * DIM:(i + 2) * DIM, i * DIM:(i + 2) * DIM].add(
+            jtj[i, : 2 * DIM, : 2 * DIM])
+        g = g.at[i * DIM:(i + 2) * DIM].add(jtr[i, : 2 * DIM])
+        if with_gravity:
+            H = H.at[i * DIM:(i + 2) * DIM, L - 3:].add(jtj[i, : 2 * DIM, 2 * DIM:])
+            H = H.at[L - 3:, i * DIM:(i + 2) * DIM].add(jtj[i, 2 * DIM:, : 2 * DIM])
+            H = H.at[L - 3:, L - 3:].add(jtj[i, 2 * DIM:, 2 * DIM:])
+            g = g.at[L - 3:].add(jtr[i, 2 * DIM:])
+    return res, H, g
+
+
+def _lift6_to_full(H6, g6, W, L):
+    """Map the 6-DoF lidar blocks into the DIM-DoF layout
+    (hess_plus, optimizers.cpp:171-179)."""
+    H = jnp.zeros((L, L), jnp.float64)
+    g = jnp.zeros((L,), jnp.float64)
+    H6 = H6.reshape(W, 6, W, 6)
+    g6 = g6.reshape(W, 6)
+    for i in range(W):
+        g = g.at[i * DIM:i * DIM + 6].add(g6[i])
+        for j in range(W):
+            H = H.at[i * DIM:i * DIM + 6, j * DIM:j * DIM + 6].add(H6[i, :, j, :])
+    return H, g
+
+
+def _apply_step(w: WindowPoses, dxi, W, with_gravity):
+    """Boxplus the LM step onto all window states (optimizers.cpp:468-475)."""
+    d = dxi[: W * DIM].reshape(W, DIM)
+    R = jnp.einsum("wij,wjk->wik", w.R, so3.exp(d[:, 0:3]))
+    out = w._replace(R=R, p=w.p + d[:, 3:6], v=w.v + d[:, 6:9],
+                     bg=w.bg + d[:, 9:12], ba=w.ba + d[:, 12:15])
+    if with_gravity:
+        out = out._replace(g=w.g + dxi[W * DIM:])
+    return out
+
+
+def _nielsen(u, v, q, q1):
+    """Trust-region update (optimizers.cpp:144-160)."""
+    ratio = q / q1
+    accept = q > 0
+    scale = 1.0 - (2.0 * ratio - 1.0) ** 3
+    scale = jnp.maximum(scale, 1.0 / 3.0)
+    u_acc, v_acc = u * scale, jnp.asarray(2.0)
+    u_rej, v_rej = u * v, 2.0 * v
+    return accept, jnp.where(accept, u_acc, u_rej), jnp.where(accept, v_acc, v_rej)
+
+
+class LMResult(NamedTuple):
+    poses: WindowPoses
+    pre_f: pre.PreintFactor
+    hess: jnp.ndarray
+    residual0: jnp.ndarray
+    residual1: jnp.ndarray
+    iters: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("W", "max_iter", "use_normal", "with_gravity", "use_imu"))
+def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
+                 W: int, max_iter: int = 10, use_normal: bool = False,
+                 with_gravity: bool = False, use_imu: bool = True) -> LMResult:
+    """The LM driver covering all three reference optimizers:
+      use_imu=False                  -> Lidar_BA_Optimizer (6-DoF semantics;
+                                        run in the 15-DoF layout with the
+                                        unused sub-blocks untouched)
+      use_imu=True                   -> LI_BA_Optimizer::damping_iter (cpp:430)
+      use_imu=True, use_normal=True  -> 3-factor overload (cpp:519, max_iter=3)
+      with_gravity=True              -> LI_BA_OptimizerGravity (cpp:746)
+
+    Gauge fixing: first pose rows/cols zeroed, identity block (cpp:460-463);
+    gravity variant fixes only the first 6 DoF (cpp:772-775)."""
+    L = W * DIM + (3 if with_gravity else 0)
+    gauge = 6 if with_gravity else DIM
+
+    def total_eval(w_, pre_f_, jac):
+        H = jnp.zeros((L, L), jnp.float64)
+        g = jnp.zeros((L,), jnp.float64)
+        res = jnp.zeros((), jnp.float64)
+        if use_imu:
+            r_imu, H_imu, g_imu = _imu_assemble(pre_f_, w_, W, with_gravity, jac)
+            res += 0.5 * imu_coef * r_imu
+            H += imu_coef * H_imu
+            g += imu_coef * g_imu
+        if jac:
+            r_l, g6, H6 = fx.lidar_acc(lidar_f, w_.R, w_.p, W)
+            Hl, gl = _lift6_to_full(H6, g6, W, L)
+            H += Hl
+            g += gl
+            res += r_l
+            if use_normal:
+                r_n, g6n, H6n = fx.normal_acc(lidar_f, w_.R, w_.p, W)
+                Hn, gn = _lift6_to_full(H6n, g6n, W, L)
+                H += Hn
+                g += gn
+                res += r_n
+        else:
+            res += fx.lidar_residual(lidar_f, w_.R, w_.p)
+            if use_normal:
+                res += fx.normal_residual(lidar_f, w_.R, w_.p)
+        return res, H, g
+
+    res0, H0, g0 = total_eval(w, pre_f, True)
+
+    def cond(carry):
+        (i, done, *_rest) = carry
+        return (i < max_iter) & ~done
+
+    def body(carry):
+        i, done, w_, pre_f_, u, v, res1, H, g, hess_out, res_last = carry
+
+        # gauge fix + damped solve
+        Hf = H.at[:gauge, :].set(0.0).at[:, :gauge].set(0.0)
+        Hf = Hf.at[:gauge, :gauge].set(jnp.eye(gauge))
+        gf = g.at[:gauge].set(0.0)
+        D = jnp.diag(jnp.diag(Hf))
+        dxi = jnp.linalg.solve(Hf + u * D, -gf)
+
+        w_try = _apply_step(w_, dxi, W, with_gravity)
+        pre_try = jax.vmap(pre.update_bias_state)(
+            pre_f_, dxi[: (W - 1) * DIM].reshape(W - 1, DIM)) if use_imu else pre_f_
+
+        q1 = 0.5 * jnp.dot(dxi, u * (D @ dxi) - gf)
+        res2, _, _ = total_eval(w_try, pre_try, False)
+
+        q = res1 - res2
+        accept, u2, v2 = _nielsen(u, v, q, q1)
+
+        w_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, b, a), w_, w_try)
+        pre_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, b, a), pre_f_,
+            pre_try if use_imu else pre_f_)
+
+        # recompute Hessian only after accepted steps (is_calc_hess)
+        def recompute(_):
+            return total_eval(w_next, pre_next, True)
+
+        def keep(_):
+            return res1, H, g
+
+        res_n, H_n, g_n = jax.lax.cond(accept, recompute, keep, None)
+        hess_out = jnp.where(accept, H_n, hess_out)
+
+        converged = jnp.abs((res1 - res2) / jnp.maximum(jnp.abs(res1), 1e-30)) < 1e-6
+        return (i + 1, converged, w_next, pre_next, u2, v2, res_n, H_n, g_n,
+                hess_out, res2)
+
+    init = (jnp.asarray(0), jnp.asarray(False), w, pre_f,
+            jnp.asarray(0.01), jnp.asarray(2.0), res0, H0, g0, H0, res0)
+    i, done, w_out, pre_out, u, v, res_f, H_f, g_f, hess, res_last = (
+        jax.lax.while_loop(cond, body, init))
+    return LMResult(poses=w_out, pre_f=pre_out, hess=hess,
+                    residual0=res0, residual1=res_last, iters=i)
+
+
+@partial(jax.jit, static_argnames=("W", "max_iter"))
+def damping_iter_lidar_only(w: WindowPoses, lidar_f: fx.BAFactors,
+                            W: int, max_iter: int = 10) -> LMResult:
+    """Lidar_BA_Optimizer::damping_iter (optimizers.cpp:91-167): 6-DoF per
+    frame, lidar eigenvalue factor only, same gauge fix and Nielsen policy."""
+    L = W * 6
+
+    def ev_full(w_):
+        return fx.lidar_acc(lidar_f, w_.R, w_.p, W)
+
+    res0, g0, H0 = ev_full(w)
+
+    def cond(c):
+        return (c[0] < max_iter) & ~c[1]
+
+    def body(c):
+        i, done, w_, u, v, res1, H, g, hess_out, _ = c
+        Hf = H.at[:6, :].set(0.0).at[:, :6].set(0.0)
+        Hf = Hf.at[:6, :6].set(jnp.eye(6))
+        gf = g.at[:6].set(0.0)
+        D = jnp.diag(jnp.diag(Hf))
+        dxi = jnp.linalg.solve(Hf + u * D, -gf)
+        d = dxi.reshape(W, 6)
+        w_try = w_._replace(
+            R=jnp.einsum("wij,wjk->wik", w_.R, so3.exp(d[:, 0:3])),
+            p=w_.p + d[:, 3:6])
+        q1 = 0.5 * jnp.dot(dxi, u * (D @ dxi) - gf)
+        res2 = fx.lidar_residual(lidar_f, w_try.R, w_try.p)
+        q = res1 - res2
+        accept, u2, v2 = _nielsen(u, v, q, q1)
+        w_next = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), w_, w_try)
+        res_n, g_n, H_n = jax.lax.cond(
+            accept, lambda _: ev_full(w_next), lambda _: (res1, g, H), None)
+        hess_out = jnp.where(accept, H_n, hess_out)
+        converged = jnp.abs((res1 - res2) / jnp.maximum(jnp.abs(res1), 1e-30)) < 1e-6
+        return (i + 1, converged, w_next, u2, v2, res_n, H_n, g_n, hess_out, res2)
+
+    init = (jnp.asarray(0), jnp.asarray(False), w, jnp.asarray(0.01),
+            jnp.asarray(2.0), res0, H0, g0, H0, res0)
+    i, done, w_out, u, v, res_f, H_f, g_f, hess, res_last = (
+        jax.lax.while_loop(cond, body, init))
+    return LMResult(poses=w_out, pre_f=None, hess=hess,
+                    residual0=res0, residual1=res_last, iters=i)

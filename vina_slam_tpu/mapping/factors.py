@@ -1,0 +1,280 @@
+"""Windowed-BA factors, batched over voxels.
+
+Reference: src/mapping/factors.cpp.
+  * LidarFactor (cpp:7-168): residual = coe * lambda_min of the pose-
+    transformed aggregate point covariance per voxel; analytic gradient and
+    Gauss-Newton Hessian w.r.t. all window poses including cross-frame
+    blocks, via the eigenvector perturbation umumT = sum_{i!=k}
+    2/(lk-li) u_i u_i^T (cpp:22-126).
+  * NormalFactor (cpp:171-355): VNC residual r = (I - n_ref n_ref^T) u_min
+    with Gauss-Newton Hessian via the J_i = S Tn Auk_i chain (cpp:239-298).
+
+TPU design: the per-voxel thread fan-out (optimizers.cpp:36-56) becomes one
+batched evaluation over a padded voxel array [V]; the full 6Wx6W Hessian
+assembles as big matmuls:
+  H = Abig^T umumT Abig  -  (2 coe / N^2) g g^T  +  block-diag extras
+where Abig stacks the per-frame 3x6 Auk blocks into [V, 3, 6W] and
+g[V, 6W] stacks (v_i x (R_i^T u_k) ; n_i u_k) per frame — the cross-frame
+correction blocks of cpp:100-118 are exactly this rank-1 outer product.
+
+All factor math runs in f64 (tiny tensors: V voxels x W frames of 3x3
+moments) with translations shifted per voxel by the voxel center c_v, so
+aggregate covariances never suffer f32 cancellation; eigenstructure is
+shift-invariant so results equal the reference's unshifted doubles.
+
+Unlike the reference, which caches eig state from the last
+evaluate_only_residual (factors.cpp:152-154) and reuses it in
+acc_evaluate2, we recompute the aggregate + eigendecomposition from the
+CURRENT poses inside each evaluation — semantically identical (the cached
+state always corresponds to the accepted = current poses) and stateless.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vina_slam_tpu.core.eigh3 import eigh3
+from vina_slam_tpu.mapping import voxel_hash as vh
+from vina_slam_tpu.mapping.voxel_map import MapParams, MapStatic, VoxelMap, slot_meta
+
+
+class BAFactors(NamedTuple):
+    """Per-voxel factor payload (push_voxel analog, factors.cpp:11-20),
+    padded to a static V. All f64; `coe` is 0 on padding rows."""
+    Pb: jnp.ndarray      # (V, W, 3, 3) body-frame window cluster moments
+    vb: jnp.ndarray      # (V, W, 3)
+    Nb: jnp.ndarray      # (V, W)
+    fix_P: jnp.ndarray   # (V, 3, 3)  fixed cluster, voxel-center frame
+    fix_v: jnp.ndarray   # (V, 3)
+    fix_N: jnp.ndarray   # (V,)
+    centers: jnp.ndarray  # (V, 3) world voxel centers (per-voxel shift)
+    n_ref: jnp.ndarray   # (V, 3) reference normals (VNC factor)
+    coe: jnp.ndarray     # (V,)
+    n_valid: jnp.ndarray  # () i32 — number of real voxels
+
+
+@partial(jax.jit, static_argnames=("ms", "V", "W"))
+def extract_factors(m: VoxelMap, slots, win_pts_body, win_valid,
+                    params: MapParams, ms: MapStatic, V: int, W: int) -> BAFactors:
+    """tras_opt analog (octree.cpp:498-549): gather every active planar leaf
+    (ratio gate lambda0/lambda1 <= 0.12, with window data) into padded
+    factor arrays.
+
+    slots: (W, Np) leaf assignment from recut; win_pts_body: (W, Np, 3)."""
+    C = ms.capacity
+
+    flat_slots = slots.reshape(-1)
+    flat_valid = (win_valid & (slots >= 0)).reshape(-1)
+    sid = jnp.where(flat_valid, flat_slots, C)
+    win_count = jax.ops.segment_sum(
+        flat_valid.astype(jnp.int32), sid, num_segments=C + 1)[:C]
+
+    ratio = m.eig_val[:, 0] / jnp.maximum(m.eig_val[:, 1], 1e-20)
+    cond = (
+        (m.keys != vh.EMPTY_KEY) & (m.state == 0) & m.is_plane
+        & (ratio <= 0.12) & (win_count > 0)
+    )
+    idx = jnp.nonzero(cond, size=V, fill_value=-1)[0]
+    vvalid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+
+    # inverse index slot -> compact position
+    inv = jnp.full(C + 1, -1, jnp.int32)
+    inv = inv.at[safe].set(
+        jnp.where(vvalid, jnp.arange(V, dtype=jnp.int32), -1), mode="drop")
+
+    frame_id = jnp.broadcast_to(
+        jnp.arange(W)[:, None], slots.shape).reshape(-1)
+    pos = inv[jnp.where(flat_valid, flat_slots, C)]
+    seg = jnp.where(flat_valid & (pos >= 0), pos * W + frame_id, V * W)
+    pts64 = win_pts_body.reshape(-1, 3).astype(jnp.float64)
+    w = (seg < V * W).astype(jnp.float64)
+    p = pts64 * w[:, None]
+    Pb = jax.ops.segment_sum((p[:, :, None] * p[:, None, :]).reshape(-1, 9), seg,
+                             num_segments=V * W + 1)[: V * W].reshape(V, W, 3, 3)
+    vb = jax.ops.segment_sum(p, seg, num_segments=V * W + 1)[: V * W].reshape(V, W, 3)
+    Nb = jax.ops.segment_sum(w, seg, num_segments=V * W + 1)[: V * W].reshape(V, W)
+
+    _, centers, _ = slot_meta(m, safe, params)
+    nrm = m.plane_normal[safe].astype(jnp.float64)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+    return BAFactors(
+        Pb=Pb, vb=vb, Nb=Nb,
+        fix_P=m.fix_P[safe].astype(jnp.float64),
+        fix_v=m.fix_v[safe].astype(jnp.float64),
+        fix_N=m.fix_N[safe].astype(jnp.float64),
+        centers=centers.astype(jnp.float64),
+        n_ref=nrm,
+        coe=jnp.where(vvalid, 1.0, 0.0),
+        n_valid=jnp.sum(vvalid).astype(jnp.int32),
+    )
+
+
+def _hat(v):
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1),
+    ], -2)
+
+
+def _aggregate(f: BAFactors, Rs, ps):
+    """Pose-transformed per-voxel aggregate in the voxel-center frame:
+    tot = fix + sum_i transform(body_i; R_i, p_i - c_v)
+    (PointCluster::transform, types.hpp:168-174)."""
+    t = ps[None, :, :] - f.centers[:, None, :]            # (V, W, 3)
+    Rv = jnp.einsum("wij,vwj->vwi", Rs, f.vb)             # R v
+    v_w = Rv + f.Nb[..., None] * t
+    rp = Rv[..., :, None] * t[..., None, :]
+    P_w = (
+        jnp.einsum("wij,vwjk,wlk->vwil", Rs, f.Pb, Rs)
+        + rp + jnp.swapaxes(rp, -1, -2)
+        + f.Nb[..., None, None] * t[..., :, None] * t[..., None, :]
+    )
+    P = f.fix_P + jnp.sum(P_w, axis=1)
+    v = f.fix_v + jnp.sum(v_w, axis=1)
+    N = f.fix_N + jnp.sum(f.Nb, axis=1)
+    return P, v, N, t
+
+
+def _eig_state(P, v, N):
+    Ns = jnp.maximum(N, 1.0)
+    vbar = v / Ns[:, None]
+    Cov = P / Ns[:, None, None] - vbar[:, None, :] * vbar[:, :, None]
+    lmbd, U = eigh3(Cov)
+    return lmbd, U, vbar, Ns
+
+
+def _auk(f: BAFactors, Rs, t, uk, vbar, NN):
+    """Auk blocks (factors.cpp:79-83): the 3x6 derivative of the aggregate
+    covariance action on u_k w.r.t. pose i. Returns (Auk (V,W,3,6), x=(v_i x
+    R_i^T u_k) (V,W,3), RiTuk, vihat-free extras used by the Hessian)."""
+    RiTuk = jnp.einsum("wji,vj->vwi", Rs, uk)             # R_i^T u_k
+    x = jnp.cross(f.vb, RiTuk)                            # vihat @ RiTuk
+    PiRiTuk = jnp.einsum("vwij,vwj->vwi", f.Pb, RiTuk)
+    ti_v = t - vbar[:, None, :]                           # (V, W, 3)
+    ukTti_v = jnp.einsum("vi,vwi->vw", uk, ti_v)
+    combo1 = _hat(PiRiTuk) + _hat(f.vb) * ukTti_v[..., None, None]
+    combo2 = jnp.einsum("wij,vwj->vwi", Rs, f.vb) + f.Nb[..., None] * ti_v
+    RiTukhat = _hat(RiTuk)
+    RiPi = jnp.einsum("wij,vwjk->vwik", Rs, f.Pb)
+    A_rot = jnp.einsum(
+        "vwij,vwjk->vwik",
+        RiPi + ti_v[..., :, None] * f.vb[..., None, :], RiTukhat,
+    ) - jnp.einsum("wij,vwjk->vwik", Rs, combo1)
+    A_tsl = (
+        combo2[..., :, None] * uk[:, None, None, :]
+        + jnp.einsum("vwi,vi->vw", combo2, uk)[..., None, None]
+        * jnp.eye(3, dtype=jnp.float64)
+    )
+    Auk = jnp.concatenate([A_rot, A_tsl], axis=-1) / NN[:, None, None, None]
+    return Auk, x, RiTuk, RiTukhat, combo1
+
+@partial(jax.jit, static_argnames=("W",))
+def lidar_acc(f: BAFactors, Rs, ps, W: int):
+    """acc_evaluate2 (factors.cpp:22-126): residual, gradient (6W,), and the
+    full Gauss-Newton Hessian (6W, 6W) of sum_v coe_v * lambda_min."""
+    P, v, N, t = _aggregate(f, Rs, ps)
+    lmbd, U, vbar, NN = _eig_state(P, v, N)
+    uk = U[..., :, 0]
+    active = (f.Nb > 0)
+    coe = f.coe
+
+    gaps = lmbd[:, 0:1] - lmbd[:, 1:3]
+    umumT = jnp.einsum(
+        "vk,vik,vjk->vij", 2.0 / jnp.where(jnp.abs(gaps) < 1e-20, -1e-20, gaps),
+        U[..., :, 1:3], U[..., :, 1:3])
+
+    Auk, x, RiTuk, RiTukhat, combo1 = _auk(f, Rs, t, uk, vbar, NN)
+    mask = active[..., None, None].astype(jnp.float64)
+    Auk = Auk * mask
+    x = x * active[..., None]
+
+    # gradient: jjt = Auk^T uk per frame (cpp:85-86)
+    jjt = jnp.einsum("vwia,vi->vwa", Auk, uk)             # (V, W, 6)
+    JacT = jnp.einsum("v,vwa->wa", coe, jjt).reshape(W * 6)
+
+    # main Hessian term over all frame pairs
+    Abig = jnp.swapaxes(Auk, 1, 2).reshape(-1, 3, W * 6)  # (V, 3, 6W)
+    tmp = jnp.einsum("vij,vja->via", umumT, Abig) * coe[:, None, None]
+    H = jnp.einsum("via,vib->ab", Abig, tmp)
+
+    # rank-1 cross correction  -(2 coe / NN^2) g g^T  (cpp:109-113 incl. the
+    # i==j parts, which reappear inside the diagonal extras below)
+    nuk = f.Nb[..., None] * uk[:, None, :] * active[..., None]
+    g = jnp.concatenate([x, nuk], axis=-1).reshape(-1, W * 6)  # (V, 6W)
+    cg = -2.0 * coe / (NN * NN)
+    H = H + jnp.einsum("v,va,vb->ab", cg, g, g)
+
+    # block-diagonal extras (cpp:88-94 minus the cross-form i==j parts)
+    ukukT = uk[:, :, None] * uk[:, None, :]
+    d_rot = (2.0 / NN[:, None, None, None]) * (
+        jnp.einsum("vwij,vwjk->vwik", combo1 - jnp.einsum("vwij,vwjk->vwik", RiTukhat, f.Pb), RiTukhat)
+    ) - 0.5 * _hat(jjt[..., 0:3])
+    d_rt = (2.0 / NN[:, None, None]) * x[..., :, None] * uk[:, None, None, :]
+    d_tt = (2.0 * f.Nb / NN[:, None])[..., None, None] * ukukT[:, None]
+    top = jnp.concatenate([d_rot, d_rt], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(d_rt, -1, -2), d_tt], axis=-1)
+    dblk = jnp.concatenate([top, bot], axis=-2) * mask    # (V, W, 6, 6)
+    dblk = jnp.einsum("v,vwab->wab", coe, dblk)
+    Hd = jnp.zeros((W, 6, W, 6)).at[jnp.arange(W), :, jnp.arange(W), :].add(dblk)
+    H = H + Hd.reshape(W * 6, W * 6)
+
+    residual = jnp.sum(coe * lmbd[:, 0])
+    return residual, JacT, H
+
+
+@jax.jit
+def lidar_residual(f: BAFactors, Rs, ps):
+    """evaluate_only_residual (factors.cpp:128-158): sum coe * lambda_min."""
+    P, v, N, _ = _aggregate(f, Rs, ps)
+    lmbd, _, _, _ = _eig_state(P, v, N)
+    return jnp.sum(f.coe * lmbd[:, 0])
+
+
+@partial(jax.jit, static_argnames=("W",))
+def normal_acc(f: BAFactors, Rs, ps, W: int):
+    """NormalFactor::acc_evaluate2 (factors.cpp:185-304): VNC cost
+    0.5 * coe * |(I - n n^T) u_min|^2 with GN Hessian J^T J."""
+    P, v, N, t = _aggregate(f, Rs, ps)
+    lmbd, U, vbar, NN = _eig_state(P, v, N)
+    uk = U[..., :, 0]
+    has = N > 0  # sig.N == 0 guard (factors.cpp:220-221)
+    coe = f.coe * has.astype(jnp.float64)
+
+    S = jnp.eye(3, dtype=jnp.float64) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
+    r = jnp.einsum("vij,vj->vi", S, uk)
+    residual = 0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))
+
+    eps = 1e-9
+    gaps = lmbd[:, 0:1] - lmbd[:, 1:3]
+    gaps = jnp.where(jnp.abs(gaps) < eps, jnp.where(gaps >= 0, eps, -eps), gaps)
+    Tn = jnp.einsum("vik,vk,vjk->vij", U[..., :, 1:3], 1.0 / gaps, U[..., :, 1:3])
+
+    Auk, _, _, _, _ = _auk(f, Rs, t, uk, vbar, NN)
+    Auk = Auk * (f.Nb > 0)[..., None, None].astype(jnp.float64)
+    STn = jnp.einsum("vij,vjk->vik", S, Tn)
+    J = jnp.einsum("vij,vwja->vwia", STn, Auk)            # (V, W, 3, 6)
+
+    JacT = jnp.einsum("v,vwia,vi->wa", coe, J, r).reshape(W * 6)
+    Jbig = jnp.swapaxes(J, 1, 2).reshape(-1, 3, W * 6)
+    H = jnp.einsum("via,vib->ab", Jbig * coe[:, None, None], Jbig)
+    return residual, JacT, H
+
+
+@jax.jit
+def normal_residual(f: BAFactors, Rs, ps):
+    P, v, N, _ = _aggregate(f, Rs, ps)
+    lmbd, U, _, _ = _eig_state(P, v, N)
+    uk = U[..., :, 0]
+    has = N > 0
+    coe = f.coe * has.astype(jnp.float64)
+    S = jnp.eye(3, dtype=jnp.float64) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
+    r = jnp.einsum("vij,vj->vi", S, uk)
+    return 0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))

@@ -1,0 +1,130 @@
+"""Open-addressing voxel hash table primitives.
+
+TPU-native replacement for the reference's hash-of-octrees
+(include/vina_slam/core/types.hpp:13-41 + mapping/octree.hpp): instead of
+pointer-chased OctoTree nodes behind a std::unordered_map, every octree node
+at every level lives in ONE flat open-addressing table keyed by an int64
+encoding of (level, ix, iy, iz). Lookup is a vectorized linear probe
+(gather + compare over a fixed window); insertion of new keys is a
+parallel claim-and-verify loop (scatter, re-gather, advance losers) that
+needs no atomics and converges in <= PROBE rounds.
+
+Coordinates at level l use voxel edge voxel_size / 2^l; integer coords are
+floor(x / edge) exactly like the reference's float-cast trick
+(voxel_map.cpp:13-21).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+COORD_BITS = 20
+COORD_OFF = 1 << (COORD_BITS - 1)     # supports |ix| < 2^19 voxels
+COORD_MASK = (1 << COORD_BITS) - 1
+EMPTY_KEY = jnp.int64(-1)
+
+
+def coords_of(pts: jnp.ndarray, edge) -> jnp.ndarray:
+    """World points (..., 3) -> integer voxel coords (..., 3) at a level."""
+    return jnp.floor(pts / edge).astype(jnp.int32)
+
+
+def encode(level: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """(level, (...,3) int coords) -> int64 key. Exact (no collision) within
+    |coord| < 2^19; out-of-range coords clamp (far beyond any map extent)."""
+    c = jnp.clip(coords.astype(jnp.int64) + COORD_OFF, 0, COORD_MASK)
+    lv = jnp.asarray(level, jnp.int64)
+    return (((lv << COORD_BITS | c[..., 0]) << COORD_BITS | c[..., 1]) << COORD_BITS) | c[..., 2]
+
+
+def decode(key: jnp.ndarray):
+    z = (key & COORD_MASK) - COORD_OFF
+    y = ((key >> COORD_BITS) & COORD_MASK) - COORD_OFF
+    x = ((key >> (2 * COORD_BITS)) & COORD_MASK) - COORD_OFF
+    lv = key >> (3 * COORD_BITS)
+    return lv.astype(jnp.int32), jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+def _mix(key: jnp.ndarray) -> jnp.ndarray:
+    """64-bit splitmix-style hash of the key."""
+    h = key.astype(jnp.uint64)
+    h = (h ^ (h >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    return h ^ (h >> 31)
+
+
+@partial(jax.jit, static_argnames=("probe",))
+def find_slots(table_keys: jnp.ndarray, query: jnp.ndarray, probe: int = 16) -> jnp.ndarray:
+    """Vectorized lookup: query (N,) int64 keys -> slot (N,) int32, -1 if not
+    present. Linear probe over `probe` consecutive slots; the probe chain for
+    presence checks may stop at the first EMPTY slot (entries are never
+    deleted mid-chain without tombstones — eviction rebuilds, see evict)."""
+    C = table_keys.shape[0]
+    mask = jnp.uint64(C - 1)
+    h0 = (_mix(query) & mask).astype(jnp.int32)
+    offs = jnp.arange(probe, dtype=jnp.int32)
+    cand = (h0[:, None] + offs[None, :]) & jnp.int32(C - 1)
+    occupants = table_keys[cand]                      # (N, probe)
+    hit = occupants == query[:, None]
+    any_hit = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1)
+    slot = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
+    return jnp.where(any_hit, slot, -1)
+
+
+@partial(jax.jit, static_argnames=("probe", "rounds"))
+def insert_keys(table_keys: jnp.ndarray, new_keys: jnp.ndarray, valid: jnp.ndarray,
+                probe: int = 16, rounds: int = 16):
+    """Parallel insertion of (pre-deduplicated) new keys.
+
+    Claim-and-verify: each round, every unplaced key scatters itself into its
+    current probe slot if that slot is empty; a re-gather reveals the winner;
+    losers advance their probe offset. Duplicated keys (same key twice in
+    new_keys) also converge: the second instance sees its own key and is done.
+
+    Returns (table_keys, slots, placed): slots==-1 where dropped (either
+    invalid or probe window exhausted — table near capacity)."""
+    C = table_keys.shape[0]
+    cmask = jnp.int32(C - 1)
+    h0 = (_mix(new_keys) & jnp.uint64(C - 1)).astype(jnp.int32)
+
+    def body(carry, _):
+        keys, offset, done, slots = carry
+        slot_try = (h0 + offset) & cmask
+        occ = keys[slot_try]
+        need = valid & ~done
+        can_claim = need & (occ == EMPTY_KEY)
+        keys = keys.at[slot_try].set(
+            jnp.where(can_claim, new_keys, occ), mode="drop"
+        )
+        occ2 = keys[slot_try]
+        won = need & (occ2 == new_keys)
+        slots = jnp.where(won, slot_try, slots)
+        done = done | won
+        # advance losers, but not past the probe window
+        offset = jnp.where(done | ~valid, offset, jnp.minimum(offset + 1, probe - 1))
+        return (keys, offset, done, slots), None
+
+    init = (
+        table_keys,
+        jnp.zeros_like(h0),
+        jnp.zeros_like(valid),
+        jnp.full_like(h0, -1),
+    )
+    (table_keys, _, done, slots), _ = jax.lax.scan(body, init, None, length=rounds)
+    return table_keys, slots, done
+
+
+def unique_keys(keys: jnp.ndarray, valid: jnp.ndarray, size: int):
+    """Deduplicate an (N,) int64 key set to a fixed-size unique list.
+    Invalid entries map to EMPTY_KEY which is excluded."""
+    k = jnp.where(valid, keys, EMPTY_KEY)
+    uniq = jnp.unique(k, size=size + 1, fill_value=EMPTY_KEY)
+    # EMPTY_KEY == -1 sorts first when present; strip it
+    has_empty = uniq[0] == EMPTY_KEY
+    uniq = jnp.where(has_empty, jnp.roll(uniq, -1), uniq)[:size]
+    uniq = jnp.where(has_empty & (jnp.arange(size) == size - 1), EMPTY_KEY, uniq)
+    return uniq, uniq != EMPTY_KEY

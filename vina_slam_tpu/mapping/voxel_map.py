@@ -1,0 +1,629 @@
+"""The global probabilistic voxel map — TPU-native redesign.
+
+Reference: include/vina_slam/mapping/octree.hpp + src/mapping/octree.cpp and
+voxel_map.cpp. The reference stores a hash-of-octrees of mutex-guarded
+OctoTree nodes, each holding per-window SlideWindow point storage, fixed
+(marginalized) statistics, and fitted plane parameters. Here every octree
+node (any level) is a row of ONE flat hash table (see voxel_hash.py), and
+the per-voxel *window* statistics are never stored: they are recomputed each
+step by masked segment-sums over the window's point buffers — functional,
+race-free, and cheap on TPU (a few MB of streaming per scan).
+
+Semantic mapping (reference -> here):
+  cut_voxel/cut_voxel_multi (voxel_map.cpp:4-135)  -> assign_insert()
+  OctoTree::recut + subdivide (octree.cpp:335-393) -> recut(): fixed number
+      of split waves; each wave reassigns points, re-fits planes, and marks
+      non-planar populated nodes for subdivision
+  OctoTree::match (octree.cpp:551-595)             -> match_points()
+  matchVoxelMap 27-neighbor (voxel_map.cpp:268)    -> match_neighbors()
+  OctoTree::margi + plane_update (octree.cpp:302-495) -> margi()
+  700 m eviction (local_mapping.cpp:317-344)       -> evict()
+
+Numerical note: all cluster moments are accumulated RELATIVE TO THE VOXEL
+CENTER so f32 second moments never suffer catastrophic cancellation; plane
+eigenstructure and covariance are shift-invariant under this recentering.
+
+Known reference discrepancy (documented, intentional): the shipped
+OctoTree::match never writes its max_prob output, so matchVoxelMap's
+best-probability selection can never fire and VNC silently contributes
+nothing (octree.cpp:551-595, voxel_map.cpp:296-307). We implement the
+documented intent (docs/VNCLio_formulation.md): neighbor matches are ranked
+by certainty 1/(sigma_l + eps) and the best one is returned.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vina_slam_tpu.core import cluster as cl
+from vina_slam_tpu.core import so3
+from vina_slam_tpu.core.eigh3 import eigh3
+from vina_slam_tpu.mapping import voxel_hash as vh
+
+
+class MapStatic(NamedTuple):
+    """Hashable jit-static geometry of the map."""
+    capacity: int = 1 << 18
+    levels: int = 3           # max_layer + 1
+    probe: int = 16
+    max_new: int = 4096       # new hash entries per insert wave
+    pool_capacity: int = 1 << 20
+
+
+class MapParams(NamedTuple):
+    """Runtime (traced) map parameters; mirrors the reference globals set
+    from config (octree.cpp:66-75)."""
+    voxel_size: jnp.ndarray          # root edge length
+    min_eigen_value: jnp.ndarray     # plane gate on lambda_min
+    plane_thre: jnp.ndarray          # (4,) per-layer lambda0/lambda2 gates (inverted yaml)
+    min_point: jnp.ndarray           # (4,) per-layer minimum N
+    max_points: jnp.ndarray          # fix seal threshold (default 100)
+
+
+def default_params(voxel_size=1.0, min_eigen_value=0.0025,
+                   plane_thre=(0.25, 0.25, 0.25, 0.25),
+                   min_point=(20, 20, 15, 10), max_points=100) -> MapParams:
+    return MapParams(
+        voxel_size=jnp.asarray(voxel_size, jnp.float32),
+        min_eigen_value=jnp.asarray(min_eigen_value, jnp.float32),
+        plane_thre=jnp.asarray(plane_thre, jnp.float32),
+        min_point=jnp.asarray(min_point, jnp.float32),
+        max_points=jnp.asarray(max_points, jnp.float32),
+    )
+
+
+class VoxelMap(NamedTuple):
+    keys: jnp.ndarray          # (C,) int64, EMPTY_KEY when free
+    state: jnp.ndarray         # (C,) int32: 0 leaf, 1 split
+    sealed: jnp.ndarray        # (C,) bool: fixed stats frozen (>= max_points)
+    fix_P: jnp.ndarray         # (C, 3, 3) f32, voxel-center-relative
+    fix_v: jnp.ndarray         # (C, 3) f32
+    fix_N: jnp.ndarray         # (C,) f32
+    cov_fix: jnp.ndarray       # (C, 9, 9) f32  (Bf_var sums of fixed points)
+    plane_center: jnp.ndarray  # (C, 3) f32 world
+    plane_normal: jnp.ndarray  # (C, 3) f32
+    plane_var: jnp.ndarray     # (C, 6, 6) f32
+    plane_radius: jnp.ndarray  # (C,) f32 (= lambda_max)
+    is_plane: jnp.ndarray      # (C,) bool
+    eig_val: jnp.ndarray       # (C, 3) f32
+    eig_vec: jnp.ndarray       # (C, 3, 3) f32
+    last_num: jnp.ndarray      # (C,) f32
+    jour: jnp.ndarray          # (C,) f32 journey stamp for eviction
+    n_dropped: jnp.ndarray     # () i32 diagnostic: inserts dropped (table full)
+
+
+class FixPool(NamedTuple):
+    """Raw fixed-point ring pool — the point_fix analog (octree.hpp:30).
+    Holds world points + covariances of marginalized frames for voxels that
+    have not yet sealed, so later subdivisions can redistribute them."""
+    pts: jnp.ndarray    # (F, 3) f32 world
+    var: jnp.ndarray    # (F, 3, 3) f32
+    valid: jnp.ndarray  # (F,) bool
+    head: jnp.ndarray   # () i32 ring position
+    n_dropped: jnp.ndarray  # () i32 diagnostic
+
+
+def make_map(ms: MapStatic) -> VoxelMap:
+    C = ms.capacity
+    f32 = jnp.float32
+    return VoxelMap(
+        keys=jnp.full((C,), vh.EMPTY_KEY, jnp.int64),
+        state=jnp.zeros(C, jnp.int32),
+        sealed=jnp.zeros(C, bool),
+        fix_P=jnp.zeros((C, 3, 3), f32),
+        fix_v=jnp.zeros((C, 3), f32),
+        fix_N=jnp.zeros(C, f32),
+        cov_fix=jnp.zeros((C, 9, 9), f32),
+        plane_center=jnp.zeros((C, 3), f32),
+        plane_normal=jnp.zeros((C, 3), f32),
+        plane_var=jnp.zeros((C, 6, 6), f32),
+        plane_radius=jnp.zeros(C, f32),
+        is_plane=jnp.zeros(C, bool),
+        eig_val=jnp.zeros((C, 3), f32),
+        eig_vec=jnp.zeros((C, 3, 3), f32),
+        last_num=jnp.zeros(C, f32),
+        jour=jnp.zeros(C, f32),
+        n_dropped=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_pool(ms: MapStatic) -> FixPool:
+    F = ms.pool_capacity
+    return FixPool(
+        pts=jnp.zeros((F, 3), jnp.float32),
+        var=jnp.zeros((F, 3, 3), jnp.float32),
+        valid=jnp.zeros(F, bool),
+        head=jnp.zeros((), jnp.int32),
+        n_dropped=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------- geometry
+
+def slot_meta(m: VoxelMap, slots, params: MapParams):
+    """(level, voxel center, edge) of table slots; safe for slot==-1."""
+    s = jnp.maximum(slots, 0)
+    lv, coords = vh.decode(m.keys[s])
+    lv = jnp.maximum(lv, 0)  # EMPTY_KEY decodes weird; callers mask anyway
+    edge = params.voxel_size / (2.0 ** lv.astype(jnp.float32))
+    center = (coords.astype(jnp.float32) + 0.5) * edge[..., None]
+    return lv, center, edge
+
+
+# ------------------------------------------------------------ descent walk
+
+def _walk(m: VoxelMap, root_coords, wld, params: MapParams, ms: MapStatic):
+    """Descend from given root coords through split nodes toward the point.
+
+    Octant choice replicates OctoTree::match (octree.cpp:583-591): compare
+    the query to the CURRENT node's center, even if the query lies outside
+    the node (the 27-neighbor VNC search relies on this clamping behavior).
+
+    Returns (slot, level, coords): slot==-1 if the root or a required child
+    is missing."""
+    key0 = vh.encode(0, root_coords)
+    slot = vh.find_slots(m.keys, key0, ms.probe)
+    coords = root_coords
+    level = jnp.zeros(wld.shape[:-1], jnp.int32)
+    for l in range(1, ms.levels):
+        edge = params.voxel_size / (2.0 ** (l - 1))
+        ok = slot >= 0
+        split = ok & (m.state[jnp.maximum(slot, 0)] == 1)
+        center = (coords.astype(jnp.float32) + 0.5) * edge
+        oct_up = (wld > center).astype(jnp.int32)
+        child_coords = 2 * coords + oct_up
+        ckey = vh.encode(l, child_coords)
+        cslot = vh.find_slots(m.keys, ckey, ms.probe)
+        slot = jnp.where(split, cslot, slot)
+        coords = jnp.where(split[..., None], child_coords, coords)
+        level = jnp.where(split, l, level)
+    return slot, level, coords
+
+
+def descend(m: VoxelMap, wld, params: MapParams, ms: MapStatic):
+    """Leaf lookup for points (match path — nothing is created)."""
+    root = vh.coords_of(wld, params.voxel_size)
+    return _walk(m, root, wld, params, ms)
+
+
+def _init_new_slots(m: VoxelMap, slots, mask, jour):
+    """Zero all per-voxel statistics of freshly claimed slots."""
+    s = jnp.where(mask, slots, m.keys.shape[0])  # drop-mode scatter target
+
+    def z(arr, fill=0):
+        return arr.at[s].set(fill, mode="drop")
+
+    return m._replace(
+        state=z(m.state),
+        sealed=z(m.sealed, False),
+        fix_P=z(m.fix_P),
+        fix_v=z(m.fix_v),
+        fix_N=z(m.fix_N),
+        cov_fix=z(m.cov_fix),
+        plane_center=z(m.plane_center),
+        plane_normal=z(m.plane_normal),
+        plane_var=z(m.plane_var),
+        plane_radius=z(m.plane_radius),
+        is_plane=z(m.is_plane, False),
+        eig_val=z(m.eig_val),
+        eig_vec=z(m.eig_vec),
+        last_num=z(m.last_num),
+        jour=z(m.jour, jour),
+    )
+
+
+def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
+    """Create (at most max_new unique) missing entries for `keys` where
+    need_mask; returns the updated map."""
+    uniq, uvalid = vh.unique_keys(keys, need_mask, ms.max_new)
+    new_keys, uslots, placed = vh.insert_keys(m.keys, uniq, uvalid, ms.probe)
+    m = m._replace(
+        keys=new_keys,
+        n_dropped=m.n_dropped + jnp.sum(uvalid & ~placed).astype(jnp.int32),
+    )
+    m = _init_new_slots(m, uslots, placed, jour)
+    return m
+
+
+def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
+                  jour, create_roots: bool = True):
+    """cut_voxel analog: find-or-create the leaf for each world point,
+    creating missing roots (cut_voxel, voxel_map.cpp:33-43) and missing
+    children of split nodes (OctoTree::allocate, octree.cpp:203-228).
+
+    Returns (map, slot[N]). slot==-1 only for invalid points or drops."""
+    root = vh.coords_of(wld, params.voxel_size)
+    key0 = vh.encode(0, root)
+    if create_roots:
+        slot0 = vh.find_slots(m.keys, key0, ms.probe)
+        m = _create_level(m, key0, valid & (slot0 < 0), jour, ms)
+    slot = vh.find_slots(m.keys, key0, ms.probe)
+    coords = root
+    for l in range(1, ms.levels):
+        edge = params.voxel_size / (2.0 ** (l - 1))
+        split = valid & (slot >= 0) & (m.state[jnp.maximum(slot, 0)] == 1)
+        center = (coords.astype(jnp.float32) + 0.5) * edge
+        child_coords = 2 * coords + (wld > center).astype(jnp.int32)
+        ckey = vh.encode(l, child_coords)
+        cslot = vh.find_slots(m.keys, ckey, ms.probe)
+        m = _create_level(m, ckey, split & (cslot < 0), jour, ms)
+        cslot = vh.find_slots(m.keys, ckey, ms.probe)
+        slot = jnp.where(split, cslot, slot)
+        coords = jnp.where(split[..., None], child_coords, coords)
+    return m, jnp.where(valid, slot, -1)
+
+
+# ------------------------------------------------------- cluster recompute
+
+def _seg_cluster(slots, rel_pts, valid, C) -> cl.Cluster:
+    """Masked segment-sum of voxel-center-relative points into per-slot
+    clusters (the SlideWindow recompute)."""
+    sid = jnp.where(valid & (slots >= 0), slots, C)
+    w = (valid & (slots >= 0)).astype(rel_pts.dtype)
+    p = rel_pts * w[..., None]
+    P = jax.ops.segment_sum((p[..., :, None] * p[..., None, :]).reshape(-1, 9),
+                            sid.reshape(-1), num_segments=C + 1)[:C].reshape(C, 3, 3)
+    v = jax.ops.segment_sum(p.reshape(-1, 3), sid.reshape(-1), num_segments=C + 1)[:C]
+    N = jax.ops.segment_sum(w.reshape(-1), sid.reshape(-1), num_segments=C + 1)[:C]
+    return cl.Cluster(P=P, v=v, N=N)
+
+
+def _bf_var(var, rel):
+    """Bf_var (octree.cpp:83-92): 9x9 covariance contribution of one point to
+    (6 unique second-moment entries + 3 mean entries). rel is the point in
+    the voxel-center frame (shift-invariance of the plane covariance holds,
+    see module docstring)."""
+    x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
+    zero = jnp.zeros_like(x)
+    Bi = jnp.stack([
+        jnp.stack([2 * x, zero, zero], -1),
+        jnp.stack([y, x, zero], -1),
+        jnp.stack([z, zero, x], -1),
+        jnp.stack([zero, 2 * y, zero], -1),
+        jnp.stack([zero, z, y], -1),
+        jnp.stack([zero, zero, 2 * z], -1),
+    ], -2)  # (..., 6, 3)
+    Biup = Bi @ var
+    top = jnp.concatenate([Biup @ jnp.swapaxes(Bi, -1, -2), Biup], axis=-1)  # (...,6,9)
+    bot = jnp.concatenate([jnp.swapaxes(Biup, -1, -2), var], axis=-1)        # (...,3,9)
+    return jnp.concatenate([top, bot], axis=-2)  # (..., 9, 9)
+
+
+def _seg_bf(slots, rel, var, valid, C):
+    ok = valid & (slots >= 0)
+    sid = jnp.where(ok, slots, C)
+    B = _bf_var(var, rel) * ok[..., None, None].astype(rel.dtype)
+    out = jax.ops.segment_sum(B.reshape(-1, 81), sid.reshape(-1), num_segments=C + 1)[:C]
+    return out.reshape(C, 9, 9)
+
+
+def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, with_bf: bool):
+    """Materialize fixed clusters: sealed slots keep their frozen stats,
+    unsealed slots recompute from the raw pool (enables fix_divide-style
+    redistribution after splits, octree.cpp:257-277)."""
+    C = ms.capacity
+    slot, _, _ = descend(m, pool.pts, params, ms)
+    ok = pool.valid & (slot >= 0)
+    _, centers, _ = slot_meta(m, slot, params)
+    rel = pool.pts - centers
+    pc = _seg_cluster(slot, rel, ok, C)
+    fix = cl.Cluster(
+        P=jnp.where(m.sealed[:, None, None], m.fix_P, pc.P),
+        v=jnp.where(m.sealed[:, None], m.fix_v, pc.v),
+        N=jnp.where(m.sealed, m.fix_N, pc.N),
+    )
+    cov_fix = None
+    if with_bf:
+        bf = _seg_bf(slot, rel, pool.var, ok, C)
+        cov_fix = jnp.where(m.sealed[:, None, None], m.cov_fix, bf)
+    return fix, cov_fix, slot
+
+
+def _plane_judge(eig, level, params: MapParams):
+    """plane_judge (octree.cpp:198-201)."""
+    ratio = eig[..., 0] / jnp.maximum(eig[..., 2], 1e-20)
+    thre = params.plane_thre[jnp.clip(level, 0, 3)]
+    return (eig[..., 0] < params.min_eigen_value) & (ratio < thre)
+
+
+# ----------------------------------------------------------------- recut
+
+@partial(jax.jit, static_argnames=("ms", "win"))
+def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
+          ms: MapStatic, win: int, jour):
+    """Re-fit planes / subdivide after pose updates.
+
+    win_pts_w: (W, Np, 3) current-pose WORLD positions of the window points
+    (the caller transforms body buffers by the latest poses — this makes the
+    reference's insert + recut pair a single idempotent recompute).
+
+    Runs `levels` split waves; each wave fits planes on the current leaf
+    assignment and marks populated non-planar leaves for subdivision
+    (octree.cpp:335-393). Returns (map, slots (W, Np), levels (W, Np))."""
+    C = ms.capacity
+    W, Np, _ = win_pts_w.shape
+    flat_w = win_pts_w.reshape(-1, 3)
+    flat_v = win_valid.reshape(-1)
+
+    slots = jnp.full(flat_w.shape[0], -1, jnp.int32)
+    levels_pt = jnp.zeros(flat_w.shape[0], jnp.int32)
+
+    for wave in range(ms.levels):
+        m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
+        fix, _, _ = _pool_fix(m, pool, params, ms, with_bf=False)
+        lv_pt, centers, _ = slot_meta(m, slots, params)
+        rel = flat_w - centers
+        wc = _seg_cluster(slots, rel, flat_v, C)
+        tot = cl.add(fix, wc)
+
+        lv_slot, _, _ = slot_meta(m, jnp.arange(C), params)
+        occupied = m.keys != vh.EMPTY_KEY
+        leaf = occupied & (m.state == 0)
+        has_win = wc.N > 0
+        active = leaf & has_win
+        enough = tot.N > params.min_point[jnp.clip(lv_slot, 0, 3)]
+
+        eig_w, eig_V = eigh3(cl.cov(tot))
+        judged = _plane_judge(eig_w, lv_slot, params)
+
+        # reference recut: too-few points -> is_plane=false, eig untouched
+        upd = active & enough
+        new_is_plane = jnp.where(active, upd & judged, m.is_plane)
+        m = m._replace(
+            is_plane=new_is_plane,
+            eig_val=jnp.where(upd[:, None], eig_w.astype(jnp.float32), m.eig_val),
+            eig_vec=jnp.where(upd[:, None, None], eig_V.astype(jnp.float32), m.eig_vec),
+        )
+        want_split = upd & ~judged & (lv_slot < ms.levels - 1)
+        m = m._replace(state=jnp.where(want_split, 1, m.state))
+        levels_pt = lv_pt
+
+    return m, slots.reshape(W, Np), levels_pt.reshape(W, Np)
+
+
+# ----------------------------------------------------------------- match
+
+@partial(jax.jit, static_argnames=("ms",))
+def match_points(m: VoxelMap, wld, var_w, params: MapParams, ms: MapStatic):
+    """Point-to-plane association (OctoTree::match, octree.cpp:551-595).
+
+    Returns (valid, normal, center, sigma_d): the 3-sigma Mahalanobis-gated
+    plane for each query, using plane_var + the point's world covariance."""
+    slot, level, _ = descend(m, wld, params, ms)
+    s = jnp.maximum(slot, 0)
+    found = (slot >= 0) & m.is_plane[s]
+    n = m.plane_normal[s]
+    c = m.plane_center[s]
+    radius = m.plane_radius[s]
+    pvar = m.plane_var[s]
+
+    d = wld - c
+    dis_to_plane = jnp.abs(jnp.sum(n * d, axis=-1))
+    dis_to_center = jnp.sum(d * d, axis=-1)
+    range_dis = dis_to_center - dis_to_plane * dis_to_plane
+    gate1 = range_dis <= 9.0 * radius
+
+    J = jnp.concatenate([d, -n], axis=-1)  # (N, 6)
+    sigma_l = jnp.einsum("ni,nij,nj->n", J, pvar, J)
+    sigma_l = sigma_l + jnp.einsum("ni,nij,nj->n", n, var_w, n)
+    gate2 = dis_to_plane < 3.0 * jnp.sqrt(jnp.maximum(sigma_l, 0.0))
+
+    ok = found & gate1 & gate2
+    return ok, n, c, sigma_l
+
+
+@partial(jax.jit, static_argnames=("ms",))
+def match_neighbors(m: VoxelMap, wld, params: MapParams, ms: MapStatic,
+                    var_dummy: float = 0.01):
+    """27-neighbor best plane for VNC (matchVoxelMap, voxel_map.cpp:268-313).
+    Certainty ranking 1/(sigma_l+eps) implements the documented intent (the
+    shipped max_prob plumbing is dead — see module docstring)."""
+    S = wld.shape[0]
+    base = vh.coords_of(wld, params.voxel_size)
+    offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"),
+                     -1).reshape(27, 3).astype(jnp.int32)
+    roots = base[:, None, :] + offs[None, :, :]      # (S, 27, 3)
+    wq = jnp.broadcast_to(wld[:, None, :], (S, 27, 3))
+    slot, level, _ = _walk(m, roots.reshape(-1, 3), wq.reshape(-1, 3), params, ms)
+    slot = slot.reshape(S, 27)
+    s = jnp.maximum(slot, 0)
+    found = (slot >= 0) & m.is_plane[s]
+    n = m.plane_normal[s]
+    c = m.plane_center[s]
+    radius = m.plane_radius[s]
+    pvar = m.plane_var[s]
+
+    d = wld[:, None, :] - c
+    dis_to_plane = jnp.abs(jnp.sum(n * d, axis=-1))
+    range_dis = jnp.sum(d * d, axis=-1) - dis_to_plane**2
+    J = jnp.concatenate([d, -n], axis=-1)
+    sigma_l = jnp.einsum("ski,skij,skj->sk", J, pvar, J)
+    sigma_l = sigma_l + var_dummy * jnp.sum(n * n, axis=-1)
+    ok = found & (range_dis <= 9.0 * radius) & (dis_to_plane < 3.0 * jnp.sqrt(jnp.maximum(sigma_l, 0)))
+
+    prob = jnp.where(ok, 1.0 / (sigma_l + 1e-6), 0.0)
+    best = jnp.argmax(prob, axis=1)
+    take = lambda a: jnp.take_along_axis(a, best[:, None, *([None] * (a.ndim - 2))], axis=1)[:, 0]
+    return (
+        jnp.take_along_axis(prob, best[:, None], 1)[:, 0] > 0,
+        take(n),
+        take(c),
+        jnp.take_along_axis(sigma_l, best[:, None], 1)[:, 0],
+    )
+
+
+# ----------------------------------------------------------------- margi
+
+def _plane_update(tot: cl.Cluster, cov_add, eig_w, eig_V, centers):
+    """plane_update (octree.cpp:302-333): plane params + full 6x6
+    (normal, center) covariance via eigenvector perturbation. All inputs are
+    per-slot arrays; `centers` shifts the center back to world."""
+    N = jnp.maximum(tot.N, 1.0)
+    mean_rel = tot.v / N[:, None]
+    nv = 1.0 / N
+    u = [eig_V[..., :, 0], eig_V[..., :, 1], eig_V[..., :, 2]]
+    lam = eig_w
+
+    u_c = jnp.zeros(eig_V.shape[:-2] + (3, 9), eig_V.dtype)
+    for k in (1, 2):
+        ukl = u[k][..., :, None] * u[0][..., None, :]      # u_k u_0^T
+        fkl = jnp.concatenate([
+            ukl[..., 0:1, 0],
+            (ukl[..., 1, 0] + ukl[..., 0, 1])[..., None],
+            (ukl[..., 2, 0] + ukl[..., 0, 2])[..., None],
+            ukl[..., 1:2, 1],
+            (ukl[..., 1, 2] + ukl[..., 2, 1])[..., None],
+            ukl[..., 2:3, 2],
+            -(jnp.sum(u[k] * mean_rel, -1, keepdims=True) * u[0]
+              + jnp.sum(u[0] * mean_rel, -1, keepdims=True) * u[k]),
+        ], axis=-1)  # (..., 9)
+        denom = lam[..., 0] - lam[..., k]
+        denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
+        u_c = u_c + (nv / denom)[..., None, None] * u[k][..., :, None] * fkl[..., None, :]
+
+    Jc = jnp.einsum("...ik,...kl->...il", u_c, cov_add)     # (..., 3, 9)
+    var_nn = jnp.einsum("...ik,...jk->...ij", Jc, u_c)
+    Jc_N = nv[..., None, None] * Jc[..., :, 6:9]
+    var_cc = (nv * nv)[..., None, None] * cov_add[..., 6:9, 6:9]
+    top = jnp.concatenate([var_nn, Jc_N], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(Jc_N, -1, -2), var_cc], axis=-1)
+    plane_var = jnp.concatenate([top, bot], axis=-2)
+
+    center_world = mean_rel + centers
+    return center_world, u[0], plane_var, lam[..., 2]
+
+
+@partial(jax.jit, static_argnames=("ms", "mgsize"))
+def margi(m: VoxelMap, pool: FixPool, win_pts_w, win_var_w, win_valid,
+          params: MapParams, ms: MapStatic, jour, mgsize: int = 1):
+    """Marginalize the oldest `mgsize` window frames into fixed statistics
+    (OctoTree::margi, octree.cpp:395-495) and refresh plane parameters +
+    covariances (plane_update cadence, octree.cpp:441-446).
+
+    win_pts_w/win_var_w: (W, Np, 3)/(W, Np, 3, 3) world positions and world
+    covariances of all window points under the POST-BA poses; frames
+    [0, mgsize) are absorbed. The caller shifts its buffers afterwards."""
+    C = ms.capacity
+    W, Np, _ = win_pts_w.shape
+    flat_w = win_pts_w.reshape(-1, 3)
+    flat_var = win_var_w.reshape(-1, 3, 3)
+    flat_v = win_valid.reshape(-1)
+
+    m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
+    fix, cov_fix, pool_slot = _pool_fix(m, pool, params, ms, with_bf=True)
+
+    lv_pt, centers_pt, _ = slot_meta(m, slots, params)
+    rel = flat_w - centers_pt
+    wc_all = _seg_cluster(slots, rel, flat_v, C)
+    bf_win = _seg_bf(slots, rel, flat_var, flat_v, C)
+
+    tot = cl.add(fix, wc_all)
+    cov_add = cov_fix + bf_win
+
+    lv_slot, centers_slot, _ = slot_meta(m, jnp.arange(C), params)
+    occupied = m.keys != vh.EMPTY_KEY
+    leaf = occupied & (m.state == 0)
+    has_win = wc_all.N > 0
+    active = leaf & has_win
+
+    eig_w, eig_V = eigh3(cl.cov(tot))
+
+    # plane_update cadence (octree.cpp:441-446)
+    upd = (
+        active & m.is_plane & (fix.N < params.max_points)
+        & ((tot.N - m.last_num >= 5) | (m.last_num <= 10))
+    )
+    pc, pn, pv, pr = _plane_update(tot, cov_add, eig_w, eig_V, centers_slot)
+    m = m._replace(
+        plane_center=jnp.where(upd[:, None], pc.astype(jnp.float32), m.plane_center),
+        plane_normal=jnp.where(upd[:, None], pn.astype(jnp.float32), m.plane_normal),
+        plane_var=jnp.where(upd[:, None, None], pv.astype(jnp.float32), m.plane_var),
+        plane_radius=jnp.where(upd, pr.astype(jnp.float32), m.plane_radius),
+        last_num=jnp.where(upd, tot.N, m.last_num),
+        jour=jnp.where(active, jour, m.jour),
+    )
+
+    # ---- absorb marginalized frames into the pool / fixed stats ----
+    marg_mask = (jnp.arange(W)[:, None] < mgsize) & win_valid  # (W, Np)
+    marg_flat = marg_mask.reshape(-1)
+    slot_unsealed = (slots >= 0) & (fix.N[jnp.maximum(slots, 0)] < params.max_points)
+    append = marg_flat & slot_unsealed
+
+    # frame-0 contribution per slot (for the updated fixed stats)
+    wc_m = _seg_cluster(slots, rel, append, C)
+    bf_m = _seg_bf(slots, rel, flat_var, append, C)
+    fix_new = cl.add(fix, wc_m)
+    cov_fix_new = cov_fix + bf_m
+
+    newly_sealed = leaf & (fix_new.N >= params.max_points) & ~m.sealed
+    sealed = m.sealed | newly_sealed
+    m = m._replace(
+        sealed=sealed,
+        fix_P=fix_new.P, fix_v=fix_new.v, fix_N=fix_new.N,
+        cov_fix=cov_fix_new,
+    )
+
+    # ring-append the marginalized raw points (pool feeds future splits)
+    F = ms.pool_capacity
+    pos_in_batch = jnp.cumsum(append.astype(jnp.int32)) - 1
+    n_app = jnp.sum(append.astype(jnp.int32))
+    dst = (pool.head + pos_in_batch) % F
+    dst = jnp.where(append, dst, F)  # drop-mode
+    pool = pool._replace(
+        pts=pool.pts.at[dst].set(flat_w, mode="drop"),
+        var=pool.var.at[dst].set(flat_var, mode="drop"),
+        valid=pool.valid.at[dst].set(True, mode="drop"),
+        head=(pool.head + n_app) % F,
+    )
+    # drop pool points of sealed voxels (reference clears point_fix when full,
+    # octree.cpp:461-469); their mass lives on in the frozen cluster
+    psl = jnp.maximum(pool_slot, 0)
+    pool = pool._replace(
+        valid=pool.valid & ~((pool_slot >= 0) & sealed[psl])
+    )
+    return m, pool
+
+
+# ----------------------------------------------------------------- evict
+
+@partial(jax.jit, static_argnames=("ms",))
+def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic,
+          dist: float = 700.0):
+    """Distance-based map release (local_mapping.cpp:317-344): rebuild the
+    table keeping only entries visited within `dist` journey units. Rebuild
+    (rather than tombstoning) keeps probe chains intact."""
+    keep = (m.keys != vh.EMPTY_KEY) & (cur_jour - m.jour < dist)
+    old_keys = jnp.where(keep, m.keys, vh.EMPTY_KEY)
+    fresh = jnp.full_like(m.keys, vh.EMPTY_KEY)
+    new_keys, slots, placed = vh.insert_keys(fresh, old_keys, keep, ms.probe)
+
+    dst = jnp.where(placed, slots, ms.capacity)
+
+    def move(arr, fill=0):
+        out = jnp.zeros_like(arr)
+        if arr.dtype == bool:
+            out = jnp.zeros_like(arr)
+        return out.at[dst].set(jnp.where(
+            placed.reshape((-1,) + (1,) * (arr.ndim - 1)), arr,
+            jnp.zeros_like(arr)), mode="drop")
+
+    m2 = VoxelMap(
+        keys=new_keys,
+        state=move(m.state), sealed=move(m.sealed),
+        fix_P=move(m.fix_P), fix_v=move(m.fix_v), fix_N=move(m.fix_N),
+        cov_fix=move(m.cov_fix),
+        plane_center=move(m.plane_center), plane_normal=move(m.plane_normal),
+        plane_var=move(m.plane_var), plane_radius=move(m.plane_radius),
+        is_plane=move(m.is_plane),
+        eig_val=move(m.eig_val), eig_vec=move(m.eig_vec),
+        last_num=move(m.last_num), jour=move(m.jour),
+        n_dropped=m.n_dropped,
+    )
+    # pool entries of evicted voxels die with them
+    pslot, _, _ = descend(m2, pool.pts, params, ms)
+    pool = pool._replace(valid=pool.valid & (pslot >= 0))
+    return m2, pool

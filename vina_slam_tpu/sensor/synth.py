@@ -1,0 +1,264 @@
+"""Synthetic LiDAR+IMU world generator (host, NumPy).
+
+The reference validates against recorded rosbags (ReadMe.md:16-22); none are
+available here, so this module provides a physically consistent simulator
+used by the golden-trajectory integration tests and bench.py: a plane-patch
+world (rooms/corridors), a smooth 6-DoF trajectory, spinning-LiDAR ray
+casting with per-column timestamps (so deskew is actually exercised), and
+IMU synthesis by differentiating the trajectory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List
+
+import numpy as np
+
+from vina_slam_tpu.core.constants import G_M_S2
+from vina_slam_tpu.sensor.decoders import DecodedScan
+from vina_slam_tpu.sensor.sync import FrameAssembler
+
+
+@dataclass
+class PlanePatch:
+    q: np.ndarray   # a point on the plane
+    n: np.ndarray   # unit normal
+    u: np.ndarray   # in-plane axis 1
+    v: np.ndarray   # in-plane axis 2
+    hu: float       # half extent along u
+    hv: float       # half extent along v
+
+
+def box_room(center, size) -> List[PlanePatch]:
+    """Six inward-facing wall patches of an axis-aligned box."""
+    c = np.asarray(center, np.float64)
+    sx, sy, sz = np.asarray(size, np.float64) / 2.0
+    ex, ey, ez = np.eye(3)
+    out = []
+    for axis, h, (a1, h1), (a2, h2) in [
+        (ex, sx, (ey, sy), (ez, sz)),
+        (ey, sy, (ex, sx), (ez, sz)),
+        (ez, sz, (ex, sx), (ey, sy)),
+    ]:
+        for sgn in (+1.0, -1.0):
+            out.append(PlanePatch(q=c + sgn * h * axis, n=-sgn * axis, u=a1, v=a2, hu=h1, hv=h2))
+    return out
+
+
+def default_world() -> List[PlanePatch]:
+    """A room with an attached corridor plus a few interior slabs — enough
+    plane diversity that rotation is observable (lambda_min(nn^T) large)."""
+    patches = box_room([0, 0, 1.5], [16, 12, 3])
+    patches += box_room([14, 0, 1.5], [12, 4, 3])  # corridor off +x side
+    # interior slabs (furniture-like) to add normal diversity
+    ex, ey, ez = np.eye(3)
+    patches.append(PlanePatch(np.array([3.0, 2.0, 1.0]), ex, ey, ez, 1.5, 1.0))
+    patches.append(PlanePatch(np.array([-2.0, -3.0, 0.8]), ey, ex, ez, 2.0, 0.8))
+    patches.append(PlanePatch(np.array([1.0, -1.0, 0.9]), ez, ex, ey, 1.2, 1.2))
+    patches.append(PlanePatch(np.array([-4.0, 3.0, 1.2]), (ex + ey) / np.sqrt(2), (ex - ey) / np.sqrt(2), ez, 1.5, 1.0))
+    return patches
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def _rotx(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def _roty(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
+class Trajectory:
+    """Smooth 6-DoF trajectory p(t), R(t) with a velocity ramp so the first
+    ~0.5 s is near-static (the EKF's static gravity init needs it)."""
+
+    def __init__(self, amp=(2.0, 1.5, 0.15), freq=(0.20, 0.27, 0.4), yaw_rate=0.25,
+                 wiggle=0.06, ramp=1.0, origin=(0.0, 0.0, 1.2)):
+        self.amp = np.asarray(amp)
+        self.freq = np.asarray(freq)
+        self.yaw_rate = yaw_rate
+        self.wiggle = wiggle
+        self.ramp = ramp
+        self.origin = np.asarray(origin, np.float64)
+
+    def _s(self, t):
+        # smooth ramp 0->1 over [0, ramp]
+        x = np.clip(t / self.ramp, 0.0, 1.0)
+        return x * x * (3 - 2 * x)
+
+    def pos(self, t):
+        s = self._s(t)
+        w = 2 * np.pi * self.freq
+        return self.origin + s * self.amp * np.sin(w * t)
+
+    def rot(self, t):
+        s = self._s(t)
+        yaw = s * self.yaw_rate * t
+        roll = s * self.wiggle * np.sin(2 * np.pi * 0.5 * t)
+        pitch = s * self.wiggle * np.sin(2 * np.pi * 0.33 * t + 1.0)
+        return _rotz(yaw) @ _roty(pitch) @ _rotx(roll)
+
+    def pose(self, t):
+        return self.rot(t), self.pos(t)
+
+
+def imu_sample(traj: Trajectory, t: float, h: float = 1e-4):
+    """Gyro/accel by central differences of the trajectory:
+    gyro = vee(R^T dR/dt), acc = R^T (p_ddot - g_world)."""
+    R = traj.rot(t)
+    Rp, Rm = traj.rot(t + h), traj.rot(t - h)
+    W = R.T @ (Rp - Rm) / (2 * h)
+    gyr = np.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]]) / 2.0
+    pp, p0, pm = traj.pos(t + h), traj.pos(t), traj.pos(t - h)
+    acc_w = (pp - 2 * p0 + pm) / (h * h)
+    g_world = np.array([0.0, 0.0, -G_M_S2])
+    return gyr, R.T @ (acc_w - g_world)
+
+
+def raycast(origins: np.ndarray, dirs: np.ndarray, patches: List[PlanePatch],
+            max_range: float = 80.0) -> np.ndarray:
+    """Batched ray casting: (N,3) origins + unit dirs -> (N,) ranges
+    (inf where nothing is hit within max_range)."""
+    N = dirs.shape[0]
+    best = np.full(N, np.inf)
+    for pl in patches:
+        denom = dirs @ pl.n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = ((pl.q - origins) @ pl.n) / denom
+        hit = origins + tt[:, None] * dirs
+        rel = hit - pl.q
+        ok = (
+            (tt > 0.05)
+            & (tt < max_range)
+            & (np.abs(rel @ pl.u) <= pl.hu)
+            & (np.abs(rel @ pl.v) <= pl.hv)
+            & np.isfinite(tt)
+        )
+        best = np.where(ok & (tt < best), tt, best)
+    return best
+
+
+def simulate_scan(
+    traj: Trajectory,
+    t0: float,
+    patches: List[PlanePatch],
+    n_az: int = 360,
+    n_el: int = 16,
+    span: float = 0.1,
+    ext_R: np.ndarray | None = None,
+    ext_p: np.ndarray | None = None,
+    noise: float = 0.0,
+    rng: np.random.Generator | None = None,
+    el_range=(-0.35, 0.35),
+) -> DecodedScan:
+    """One spinning-LiDAR sweep starting at t0: n_az columns x n_el rings,
+    each column cast from the sensor pose at its own firing time."""
+    ext_R = np.eye(3) if ext_R is None else ext_R
+    ext_p = np.zeros(3) if ext_p is None else ext_p
+
+    az = 2 * np.pi * np.arange(n_az) / n_az
+    el = np.linspace(el_range[0], el_range[1], n_el)
+    ca, sa = np.cos(az), np.sin(az)
+    ce, se = np.cos(el), np.sin(el)
+    # body-frame directions (n_az, n_el, 3)
+    d_body = np.stack(
+        [ca[:, None] * ce[None, :], sa[:, None] * ce[None, :], np.broadcast_to(se, (n_az, n_el))],
+        axis=-1,
+    )
+    t_col = t0 + span * np.arange(n_az) / n_az
+
+    pts, times = [], []
+    for j in range(n_az):
+        R_imu, p_imu = traj.pose(t_col[j])
+        R_l = R_imu @ ext_R
+        p_l = R_imu @ ext_p + p_imu
+        dw = d_body[j] @ R_l.T
+        rr = raycast(np.broadcast_to(p_l, (n_el, 3)), dw, patches)
+        ok = np.isfinite(rr)
+        if ok.any():
+            pb = d_body[j][ok] * rr[ok, None]
+            pts.append(pb)
+            times.append(np.full(ok.sum(), t_col[j] - t0))
+    if not pts:
+        return DecodedScan(np.zeros((0, 3), np.float32), np.zeros(0, np.float32), np.zeros(0, np.float32), t0)
+    P = np.concatenate(pts).astype(np.float32)
+    T = np.concatenate(times).astype(np.float32)
+    if noise > 0 and rng is not None:
+        P = P + rng.normal(scale=noise, size=P.shape).astype(np.float32)
+    return DecodedScan(P, np.zeros(len(P), np.float32), T, t0)
+
+
+def simulate_sequence(
+    duration: float = 10.0,
+    scan_hz: float = 10.0,
+    imu_hz: float = 200.0,
+    traj: Trajectory | None = None,
+    patches: List[PlanePatch] | None = None,
+    n_az: int = 360,
+    n_el: int = 16,
+    noise: float = 0.0,
+    imu_noise_gyr: float = 0.0,
+    imu_noise_acc: float = 0.0,
+    seed: int = 0,
+    ext_R=None,
+    ext_p=None,
+    start_time: float = 10.0,
+    static_lead: float = 1.0,
+):
+    """Full sequence: returns (frames, ground_truth) where frames come out of
+    a FrameAssembler exactly as the live pipeline would see them, and
+    ground_truth is [(t, R, p)] at scan-end times.
+
+    static_lead seconds of pure static IMU precede the first scan so the
+    EKF's static init (imu_ekf.cpp:147-201, >=30 samples) has data.
+    """
+    traj = traj or Trajectory()
+    patches = patches if patches is not None else default_world()
+    rng = np.random.default_rng(seed)
+
+    asm = FrameAssembler()
+    frames, gts = [], []
+
+    # static IMU lead-in (trajectory ramp keeps t<ramp near-static)
+    t_imu = start_time - static_lead
+    imu_dt = 1.0 / imu_hz
+    scan_dt = 1.0 / scan_hz
+    n_scans = int(duration * scan_hz)
+    scan_starts = start_time + scan_dt * np.arange(n_scans)
+
+    events = [(t, "imu") for t in np.arange(t_imu, start_time + duration + 0.2, imu_dt)]
+    events += [(t, "scan") for t in scan_starts]
+    events.sort(key=lambda e: (e[0], e[1] == "imu"))
+
+    span = min(0.1, scan_dt)
+    for t, kind in events:
+        if kind == "imu":
+            tau = max(t - start_time, 0.0)  # trajectory time (ramped)
+            gyr, acc = imu_sample(traj, tau)
+            if imu_noise_gyr > 0:
+                gyr = gyr + rng.normal(scale=imu_noise_gyr, size=3)
+            if imu_noise_acc > 0:
+                acc = acc + rng.normal(scale=imu_noise_acc, size=3)
+            asm.push_imu(t, gyr, acc / G_M_S2)  # g-unit IMU like Livox
+        else:
+            tau = t - start_time
+            scan = simulate_scan(
+                traj, tau, patches, n_az=n_az, n_el=n_el, span=span,
+                ext_R=ext_R, ext_p=ext_p, noise=noise, rng=rng,
+            )
+            scan.stamp = t
+            asm.push_scan(scan)
+            R, p = traj.pose(tau + span)
+            gts.append((t + span, R, p))
+        f = asm.try_assemble()
+        if f is not None:
+            frames.append(f)
+
+    return frames, gts[: len(frames) + 2]
