@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state scan-to-map odometry throughput on one chip.
+
+Runs the full pipeline (deskew -> VNC IEKF -> voxel map recut -> windowed
+BA -> marginalization) over a synthetic indoor sequence, times the
+steady-state frames (compile + initialization excluded), and checks ATE
+against ground truth.
+
+Baseline (BASELINE.md): >= 10x real-time at the reference's 10 Hz scan
+rate => 100 scans/s/chip. vs_baseline = scans_per_sec / 100.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from vina_slam_tpu.core.config import SlamConfig
+    from vina_slam_tpu.pipeline.runner import SlamRunner
+    from vina_slam_tpu.platform.metrics import ate_rmse
+    from vina_slam_tpu.sensor import synth
+
+    duration = float(os.environ.get("BENCH_DURATION", "12.0"))
+    n_az = int(os.environ.get("BENCH_NAZ", "360"))
+    n_el = int(os.environ.get("BENCH_NEL", "16"))
+
+    frames, gts = synth.simulate_sequence(
+        duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
+        imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
+
+    cfg = SlamConfig()
+    cfg.odometry.voxel_size = 1.0
+    cfg.odometry.down_size = 0.1
+    cfg.local_ba.win_size = 10
+    cfg.local_ba.max_layer = 2
+    cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
+    cfg.local_ba.imu_coef = 2e-4
+    cfg.general.if_BA = 1
+    cfg.tpu.map_capacity = 1 << 16
+    cfg.tpu.max_voxels_ba = 2048
+
+    runner = SlamRunner(cfg, npad_map=8192)
+
+    # phase 1: initialization + compile warmup (3 steady frames)
+    warmup = 0
+    split = len(frames)
+    for i, f in enumerate(frames):
+        out = runner.process_frame(f)
+        if not runner.motion_init_flag and out is not None:
+            warmup += 1
+        if warmup >= 3:
+            split = i + 1
+            break
+
+    # phase 2: timed steady-state frames
+    jax.block_until_ready(runner.x_curr.p)
+    t0 = time.perf_counter()
+    n_timed = 0
+    for f in frames[split:]:
+        runner.process_frame(f)
+        n_timed += 1
+    jax.block_until_ready(runner.x_curr.p)
+    elapsed = time.perf_counter() - t0
+
+    scans_per_sec = n_timed / elapsed if n_timed else 0.0
+
+    # accuracy check (nearest-time association)
+    from vina_slam_tpu.platform.metrics import associate
+    traj = runner.trajectory()
+    ref_t = np.asarray([t for (t, R, p) in gts])
+    ref_p = np.asarray([p for (t, R, p) in gts])
+    if traj.shape[0] >= 3:
+        ie, ir = associate(traj[:, 0], ref_t)
+        ate = ate_rmse(traj[ie, 1:4], ref_p[ir]) if len(ie) >= 3 else float("nan")
+    else:
+        ate = float("nan")
+
+    print(json.dumps({
+        "metric": "scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 100.0, 4),
+        "ate_rmse_m": round(ate, 5),
+        "frames_timed": n_timed,
+        "points_per_scan": int(np.mean([f.scan.pts.shape[0] for f in frames])),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Golden-trajectory integration test: the full pipeline (init -> VNC
+odometry -> windowed BA -> marginalization) on a synthetic world, compared
+against ground truth (the SURVEY.md section 4 strategy — headless replay,
+no ROS)."""
+
+import numpy as np
+import pytest
+
+from vina_slam_tpu.core.config import SlamConfig
+from vina_slam_tpu.pipeline.runner import SlamRunner
+from vina_slam_tpu.platform.metrics import ate_rmse
+from vina_slam_tpu.sensor import synth
+
+
+def small_cfg():
+    cfg = SlamConfig()
+    cfg.odometry.voxel_size = 1.0
+    cfg.odometry.down_size = 0.1
+    cfg.odometry.min_eigen_value = 0.0025
+    cfg.local_ba.win_size = 10
+    cfg.local_ba.max_layer = 2
+    cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
+    cfg.local_ba.imu_coef = 2e-4
+    cfg.general.if_BA = 1
+    cfg.tpu.map_capacity = 1 << 15
+    cfg.tpu.fix_pool_capacity = 1 << 16
+    cfg.tpu.max_voxels_ba = 1024
+    cfg.tpu.max_new_voxels = 2048
+    return cfg
+
+
+@pytest.mark.slow
+def test_e2e_synthetic_ate():
+    frames, gts = synth.simulate_sequence(
+        duration=4.0, n_az=180, n_el=12, noise=0.005,
+        imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
+    assert len(frames) >= 30
+
+    runner = SlamRunner(small_cfg(), npad_map=8192)
+    outs = []
+    for f in frames:
+        out = runner.process_frame(f)
+        outs.append(out)
+
+    assert not runner.motion_init_flag, "initialization must succeed"
+    traj = runner.trajectory()
+    assert traj.shape[0] >= 30
+
+    # compare against ground truth via nearest-time association
+    from vina_slam_tpu.platform.metrics import associate
+    ref_t = np.asarray([t for (t, R, p) in gts])
+    ref_p = np.asarray([p for (t, R, p) in gts])
+    ie, ir = associate(traj[:, 0], ref_t)
+    assert len(ie) >= 20
+    err = ate_rmse(traj[ie, 1:4], ref_p[ir])
+    # synthetic world, mild motion: sub-5cm ATE expected
+    assert err < 0.05, f"ATE RMSE {err:.4f} m too large"

@@ -1,0 +1,263 @@
+"""Voxel hash map tests: hash-table invariants, insert/descend, plane
+fitting + subdivision (recut), matching gates, and marginalization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vina_slam_tpu.mapping import voxel_hash as vh
+from vina_slam_tpu.mapping import voxel_map as vm
+
+rng = np.random.default_rng(3)
+
+MS = vm.MapStatic(capacity=1 << 14, levels=3, probe=16, max_new=1024,
+                  pool_capacity=1 << 14)
+
+
+def params(**kw):
+    return vm.default_params(**kw)
+
+
+class TestHash:
+    def test_encode_decode_roundtrip(self):
+        coords = jnp.asarray(rng.integers(-100000, 100000, size=(500, 3)), jnp.int32)
+        for lv in range(4):
+            key = vh.encode(lv, coords)
+            l2, c2 = vh.decode(key)
+            np.testing.assert_array_equal(np.asarray(c2), np.asarray(coords))
+            assert (np.asarray(l2) == lv).all()
+
+    def test_insert_then_find(self):
+        C = 1 << 12
+        keys = jnp.full((C,), vh.EMPTY_KEY, jnp.int64)
+        coords = jnp.asarray(rng.integers(-50, 50, size=(300, 3)), jnp.int32)
+        new = vh.encode(0, coords)
+        uniq, uvalid = vh.unique_keys(new, jnp.ones(300, bool), 512)
+        keys, slots, placed = vh.insert_keys(keys, uniq, uvalid)
+        assert bool(jnp.all(placed | ~uvalid))
+        found = vh.find_slots(keys, uniq)
+        got = np.asarray(found)[np.asarray(uvalid)]
+        assert (got >= 0).all()
+        np.testing.assert_array_equal(got, np.asarray(slots)[np.asarray(uvalid)])
+
+    def test_duplicate_keys_one_slot(self):
+        C = 1 << 10
+        keys = jnp.full((C,), vh.EMPTY_KEY, jnp.int64)
+        k = vh.encode(0, jnp.asarray([[1, 2, 3]], jnp.int32))
+        dup = jnp.tile(k, (8,))
+        keys, slots, placed = vh.insert_keys(keys, dup, jnp.ones(8, bool))
+        # all instances resolve to the same slot
+        assert len(set(np.asarray(slots).tolist())) == 1
+        assert int(jnp.sum(keys != vh.EMPTY_KEY)) == 1
+
+    def test_near_capacity_drops(self):
+        C = 64
+        keys = jnp.full((C,), vh.EMPTY_KEY, jnp.int64)
+        coords = jnp.asarray(np.stack([np.arange(100), np.zeros(100), np.zeros(100)], -1), jnp.int32)
+        new = vh.encode(0, coords)
+        keys, slots, placed = vh.insert_keys(keys, new, jnp.ones(100, bool))
+        n_placed = int(jnp.sum(placed))
+        assert n_placed <= C
+        assert n_placed >= 40  # probe window limits fill, but most land
+
+    def test_unique_keys_strips_invalid(self):
+        keys = jnp.asarray([5, 5, 7, 9, 9, 9], jnp.int64)
+        valid = jnp.asarray([1, 1, 1, 0, 0, 0], bool)
+        uniq, uvalid = vh.unique_keys(keys, valid, 4)
+        got = sorted(np.asarray(uniq)[np.asarray(uvalid)].tolist())
+        assert got == [5, 7]
+
+
+def _insert_cloud(m, pts, par, jour=0.0):
+    pts = jnp.asarray(pts, jnp.float32)
+    m, slots = vm.assign_insert(m, pts, jnp.ones(pts.shape[0], bool), par, MS,
+                                jnp.asarray(jour, jnp.float32))
+    return m, slots
+
+
+class TestMapInsert:
+    def test_root_creation_and_descend(self):
+        m = vm.make_map(MS)
+        par = params(voxel_size=1.0)
+        pts = rng.uniform(-5, 5, (1000, 3))
+        m, slots = _insert_cloud(m, pts, par)
+        assert (np.asarray(slots) >= 0).all()
+        # same points descend to the same slots
+        s2, lv, _ = vm.descend(m, jnp.asarray(pts, jnp.float32), par, MS)
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(slots))
+        assert (np.asarray(lv) == 0).all()
+        # voxel count matches numpy floor-grid count
+        expect = len({tuple(c) for c in np.floor(pts / 1.0).astype(int)})
+        assert int(jnp.sum(m.keys != vh.EMPTY_KEY)) == expect
+
+    def test_split_descends_children(self):
+        m = vm.make_map(MS)
+        par = params(voxel_size=2.0)
+        pts = rng.uniform(0, 2.0, (500, 3))
+        m, slots = _insert_cloud(m, pts, par)
+        root = int(np.asarray(slots)[0])
+        assert (np.asarray(slots) == root).all()
+        # split the root manually; re-insert must create/find children
+        m = m._replace(state=m.state.at[root].set(1))
+        m, slots2 = _insert_cloud(m, pts, par)
+        lv, coords = vh.decode(m.keys[jnp.maximum(jnp.asarray(slots2), 0)])
+        assert (np.asarray(slots2) >= 0).all()
+        assert (np.asarray(lv) == 1).all()
+        # octant correctness: child coord = floor(p / 1.0)
+        np.testing.assert_array_equal(np.asarray(coords), np.floor(pts / 1.0).astype(np.int32))
+
+
+class TestRecut:
+    def _plane_cloud(self, n, normal, d, extent=4.0, noise=1e-3, offset=(0, 0, 0)):
+        """points on plane n.x = d"""
+        normal = np.asarray(normal, float)
+        normal /= np.linalg.norm(normal)
+        b1 = np.cross(normal, [1, 0.3, 0.2]); b1 /= np.linalg.norm(b1)
+        b2 = np.cross(normal, b1)
+        uv = rng.uniform(-extent, extent, (n, 2))
+        pts = d * normal + uv[:, :1] * b1 + uv[:, 1:] * b2
+        pts += rng.normal(scale=noise, size=(n, 3)) * normal
+        return pts + np.asarray(offset)
+
+    def test_plane_detected(self):
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        pts = self._plane_cloud(4000, [0, 0, 1], 0.5)
+        win = jnp.asarray(pts, jnp.float32)[None]  # (1, N, 3)
+        valid = jnp.ones((1, pts.shape[0]), bool)
+        m, slots, lvs = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
+        sl = np.asarray(slots).ravel()
+        s, counts = np.unique(sl[sl >= 0], return_counts=True)
+        assert len(s) > 0
+        # voxels with enough points must be planes (min_point gate spares the
+        # sparse edge voxels, octree.cpp:354-358)
+        rich = s[counts > 30]
+        ip = np.asarray(m.is_plane)[rich]
+        assert ip.all()
+        normals = np.asarray(m.eig_vec)[rich][:, :, 0]
+        dots = np.abs(normals @ [0, 0, 1])
+        assert (dots > 0.99).all()
+
+    def test_subdivision_on_corner(self):
+        """Two orthogonal planes through one voxel: root is not planar, must
+        subdivide, children become planar."""
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=4.0, min_eigen_value=0.01)
+        ptsA = self._plane_cloud(3000, [0, 0, 1], 0.4, extent=1.9, offset=(2, 2, 0))
+        ptsB = self._plane_cloud(3000, [1, 0, 0], 0.4, extent=1.9, offset=(0, 2, 2))
+        pts = np.concatenate([ptsA, ptsB])
+        keep = (pts > 0.05).all(1) & (pts < 3.95).all(1)
+        pts = pts[keep]
+        win = jnp.asarray(pts, jnp.float32)[None]
+        valid = jnp.ones((1, pts.shape[0]), bool)
+        m, slots, lvs = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
+        # root must be split
+        root_key = vh.encode(0, jnp.asarray([[0, 0, 0]], jnp.int32))
+        root_slot = int(vh.find_slots(m.keys, root_key)[0])
+        assert root_slot >= 0
+        assert int(m.state[root_slot]) == 1
+        # most points now live in deeper, planar leaves
+        lv = np.asarray(lvs)
+        assert (lv > 0).mean() > 0.9
+        s = np.unique(np.asarray(slots)); s = s[s >= 0]
+        deep = s[np.asarray(m.state)[s] == 0]
+        assert np.asarray(m.is_plane)[deep].mean() > 0.5
+
+    def test_min_point_gate(self):
+        """Sparse voxels (N <= min_point) must not become planes."""
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=1.0)
+        pts = self._plane_cloud(10, [0, 0, 1], 0.2, extent=0.4)
+        win = jnp.asarray(pts, jnp.float32)[None]
+        valid = jnp.ones((1, pts.shape[0]), bool)
+        m, slots, _ = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
+        s = np.unique(np.asarray(slots)); s = s[s >= 0]
+        assert not np.asarray(m.is_plane)[s].any()
+
+
+class TestMatch:
+    def _build_plane_map(self):
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        pts = TestRecut._plane_cloud(TestRecut(), 6000, [0, 0, 1], 0.5, extent=6.0)
+        W = 1
+        win_w = jnp.asarray(pts, jnp.float32)[None]
+        valid = jnp.ones((W, pts.shape[0]), bool)
+        m, slots, _ = vm.recut(m, pool, win_w, valid, par, MS, W, jnp.asarray(0.0, jnp.float32))
+        # plane params come from margi's plane_update
+        var = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 1e-4, (pts.shape[0], 1, 1))[None]
+        m, pool = vm.margi(m, pool, win_w, var, valid, par, MS, jnp.asarray(0.0, jnp.float32), mgsize=0)
+        return m, pool, par
+
+    def test_match_on_plane(self):
+        m, pool, par = self._build_plane_map()
+        q = rng.uniform(-4, 4, (200, 2))
+        wld = np.concatenate([q, np.full((200, 1), 0.5)], -1).astype(np.float32)
+        var = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 1e-4, (200, 1, 1))
+        ok, n, c, sig = vm.match_points(m, jnp.asarray(wld), var, par, MS)
+        assert np.asarray(ok).mean() > 0.9
+        dots = np.abs(np.asarray(n) @ [0, 0, 1])
+        assert (dots[np.asarray(ok)] > 0.99).all()
+
+    def test_match_rejects_off_plane(self):
+        m, pool, par = self._build_plane_map()
+        wld = np.concatenate([rng.uniform(-4, 4, (200, 2)),
+                              np.full((200, 1), 1.4)], -1).astype(np.float32)
+        var = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 1e-4, (200, 1, 1))
+        ok, n, c, sig = vm.match_points(m, jnp.asarray(wld), var, par, MS)
+        assert np.asarray(ok).mean() < 0.05
+
+    def test_neighbor_match(self):
+        m, pool, par = self._build_plane_map()
+        # query centers slightly above the plane, still should find neighbors
+        wld = np.concatenate([rng.uniform(-3, 3, (50, 2)),
+                              np.full((50, 1), 0.52)], -1).astype(np.float32)
+        ok, n, c, sig = vm.match_neighbors(m, jnp.asarray(wld), par, MS)
+        assert np.asarray(ok).mean() > 0.8
+
+
+class TestMargi:
+    def test_fix_accumulation_and_seal(self):
+        MS2 = vm.MapStatic(capacity=1 << 12, levels=2, probe=16, max_new=512,
+                           pool_capacity=1 << 12)
+        m = vm.make_map(MS2)
+        pool = vm.make_pool(MS2)
+        par = params(voxel_size=2.0, min_eigen_value=0.05, max_points=50)
+        pts = TestRecut._plane_cloud(TestRecut(), 40, [0, 0, 1], 0.5, extent=0.8, offset=(1, 1, 0))
+        win = jnp.asarray(pts, jnp.float32)[None]
+        valid = jnp.ones((1, pts.shape[0]), bool)
+        var = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 1e-4, (pts.shape[0], 1, 1))[None]
+        m, slots, _ = vm.recut(m, pool, win, valid, par, MS2, 1, jnp.asarray(0.0, jnp.float32))
+        m, pool = vm.margi(m, pool, win, var, valid, par, MS2, jnp.asarray(0.0, jnp.float32), mgsize=1)
+        s = int(np.asarray(slots)[0, 0])
+        assert float(m.fix_N[s]) == pytest.approx(pts.shape[0])
+        assert int(jnp.sum(pool.valid)) == pts.shape[0]
+        # second margi of another 40 points seals the voxel (>= 50)
+        pts2 = TestRecut._plane_cloud(TestRecut(), 40, [0, 0, 1], 0.5, extent=0.8, offset=(1, 1, 0))
+        win2 = jnp.asarray(pts2, jnp.float32)[None]
+        m, slots2, _ = vm.recut(m, pool, win2, valid, par, MS2, 1, jnp.asarray(0.0, jnp.float32))
+        m, pool = vm.margi(m, pool, win2, var, valid, par, MS2, jnp.asarray(0.0, jnp.float32), mgsize=1)
+        assert bool(m.sealed[s])
+        assert float(m.fix_N[s]) == pytest.approx(80)
+        # pool points of sealed voxels dropped
+        assert int(jnp.sum(pool.valid)) == 0
+
+    def test_evict(self):
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=1.0)
+        pts = rng.uniform(-5, 5, (500, 3))
+        m, slots = _insert_cloud(m, pts, par, jour=0.0)
+        n0 = int(jnp.sum(m.keys != vh.EMPTY_KEY))
+        m2, pool2 = vm.evict(m, pool, jnp.asarray(800.0, jnp.float32), par, MS)
+        assert int(jnp.sum(m2.keys != vh.EMPTY_KEY)) == 0
+        m3, pool3 = vm.evict(m, pool, jnp.asarray(100.0, jnp.float32), par, MS)
+        assert int(jnp.sum(m3.keys != vh.EMPTY_KEY)) == n0
+        # surviving entries still findable
+        s3, _, _ = vm.descend(m3, jnp.asarray(pts, jnp.float32), par, MS)
+        assert (np.asarray(s3) >= 0).all()

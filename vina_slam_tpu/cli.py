@@ -1,0 +1,113 @@
+"""Command-line interface — the `ros2 launch vina_slam start.launch.py`
+analog for headless replay.
+
+  python -m vina_slam_tpu.cli run --config configs/mid360.yaml \
+      --data sequence.npz --out traj.txt [--save-map map.pcd] [--markers m.json]
+  python -m vina_slam_tpu.cli synth-bench   # synthetic smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_run(args):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from vina_slam_tpu.core.config import load_config
+    from vina_slam_tpu.pipeline.runner import SlamRunner
+    from vina_slam_tpu.platform import dataset, io
+    from vina_slam_tpu.utils.profiling import StageTimer, rss_gb
+
+    cfg = load_config(args.config)
+    runner = SlamRunner(cfg)
+    writer = io.TumWriter(args.out) if args.out else None
+
+    n = 0
+    t0 = time.perf_counter()
+    for frame in dataset.replay_npz(args.data, cfg):
+        out = runner.process_frame(frame)
+        n += 1
+        if out is not None and writer is not None:
+            writer.write(out["t"], out["pose_R"], out["pose_p"])
+        if args.max_frames and n >= args.max_frames:
+            break
+    elapsed = time.perf_counter() - t0
+
+    if writer:
+        writer.close()
+    if args.refined_out:
+        traj = runner.trajectory()
+        np.savetxt(args.refined_out, traj, fmt="%.9f")
+    if args.markers:
+        from vina_slam_tpu.platform.viz import save_markers_json
+        save_markers_json(args.markers, runner.map, runner.params)
+    print(json.dumps({
+        "frames": n, "elapsed_s": round(elapsed, 2),
+        "scans_per_sec": round(n / max(elapsed, 1e-9), 2),
+        "rss_gb": round(rss_gb(), 2),
+        "stats": vars(runner.stats),
+    }))
+
+
+def cmd_synth(args):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from vina_slam_tpu.core.config import SlamConfig
+    from vina_slam_tpu.pipeline.runner import SlamRunner
+    from vina_slam_tpu.platform.metrics import ate_rmse
+    from vina_slam_tpu.sensor import synth
+
+    frames, gts = synth.simulate_sequence(duration=args.duration, n_az=180, n_el=12,
+                                          noise=0.005, seed=4)
+    cfg = SlamConfig()
+    cfg.tpu.map_capacity = 1 << 15
+    runner = SlamRunner(cfg, npad_map=8192)
+    for f in frames:
+        runner.process_frame(f)
+    traj = runner.trajectory()
+    gt = {round(t, 4): p for (t, R, p) in gts}
+    est, ref = [], []
+    for row in traj:
+        if round(row[0], 4) in gt:
+            est.append(row[1:4])
+            ref.append(gt[round(row[0], 4)])
+    print(json.dumps({
+        "frames": len(frames),
+        "ate_rmse_m": round(ate_rmse(np.asarray(est), np.asarray(ref)), 5),
+        "init_ok": not runner.motion_init_flag,
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vina_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="replay a recorded sequence")
+    pr.add_argument("--config", required=True)
+    pr.add_argument("--data", required=True)
+    pr.add_argument("--out", default="")
+    pr.add_argument("--refined-out", default="")
+    pr.add_argument("--markers", default="")
+    pr.add_argument("--max-frames", type=int, default=0)
+    pr.set_defaults(fn=cmd_run)
+
+    ps = sub.add_parser("synth-bench", help="synthetic smoke run")
+    ps.add_argument("--duration", type=float, default=4.0)
+    ps.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

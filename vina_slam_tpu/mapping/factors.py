@@ -217,7 +217,7 @@ def lidar_acc(f: BAFactors, Rs, ps, W: int):
     d_rot = (2.0 / NN[:, None, None, None]) * (
         jnp.einsum("vwij,vwjk->vwik", combo1 - jnp.einsum("vwij,vwjk->vwik", RiTukhat, f.Pb), RiTukhat)
     ) - 0.5 * _hat(jjt[..., 0:3])
-    d_rt = (2.0 / NN[:, None, None]) * x[..., :, None] * uk[:, None, None, :]
+    d_rt = (2.0 / NN[:, None, None, None]) * x[..., :, None] * uk[:, None, None, :]
     d_tt = (2.0 * f.Nb / NN[:, None])[..., None, None] * ukukT[:, None]
     top = jnp.concatenate([d_rot, d_rt], axis=-1)
     bot = jnp.concatenate([jnp.swapaxes(d_rt, -1, -2), d_tt], axis=-1)

@@ -1,0 +1,298 @@
+"""Iterated error-state Kalman odometry (scan-to-map) with VNC.
+
+Reference: src/pipeline/odometry.cpp::LioStateEstimation (cpp:64-255).
+The per-point sequential match/accumulate loop becomes a batched
+match + einsum normal-equation reduction; the IEKF iteration with the
+rematch-twice stopping protocol (cpp:205-230) runs as a lax.while_loop.
+The VNC scan-plane extraction (generate_voxel + fitScanPlane +
+collectScanPlanes, cpp:14-96) is a per-scan multi-level unique/segment
+plane fit with fixed output shapes.
+
+Also provides the kdtree-bootstrap odometry used before motion_init
+succeeds (cpp:267-439), with the PCL KdTree 5-NN replaced by a brute-force
+distance matmul + top_k on the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vina_slam_tpu.core import so3
+from vina_slam_tpu.core.constants import DIM, NMATCH
+from vina_slam_tpu.core.eigh3 import eigh3
+from vina_slam_tpu.core.state import NavState
+from vina_slam_tpu.mapping import voxel_hash as vh
+from vina_slam_tpu.mapping import voxel_map as vm
+
+
+class ScanPlanes(NamedTuple):
+    """collectScanPlanes output (odometry.cpp:14-61), padded."""
+    center: jnp.ndarray   # (S, 3) body frame
+    normal: jnp.ndarray   # (S, 3) body frame, unit
+    quality: jnp.ndarray  # (S,) 1 - l0/(l0+l1+l2)
+    sigma_n: jnp.ndarray  # (S,) sqrt(l0/sum)
+    valid: jnp.ndarray    # (S,)
+
+
+@partial(jax.jit, static_argnames=("levels", "caps"))
+def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
+                        levels: int = 3, caps=(2048, 4096, 8192)) -> ScanPlanes:
+    """generate_voxel + fitScanPlane (voxel_map.cpp:169-200 +
+    octree.cpp:628-684): voxelize the body-frame scan, fit planes, subdivide
+    non-planar voxels (N >= 6) up to max_layer; keep planes passing the
+    quality gates of collectScanPlanes (odometry.cpp:27-50)."""
+    N = pts.shape[0]
+    f32 = pts.dtype
+    outs = []
+    parent_split = jnp.ones(N, bool)  # level-0: all points participate
+    SENT = jnp.int64(0x7FFFFFFFFFFFFFFF)
+
+    for l in range(levels):
+        cap = caps[min(l, len(caps) - 1)]
+        edge = voxel_size / (2.0 ** l)
+        coords = vh.coords_of(pts, edge)
+        code = jnp.where(valid & parent_split, vh.encode(l, coords), SENT)
+        uniq = jnp.unique(code, size=cap, fill_value=SENT)
+        seg = jnp.searchsorted(uniq, code)
+        seg = jnp.where((code != SENT) & (seg < cap), seg, cap)
+        inb = seg < cap
+        w = inb.astype(f32)
+        centers_vox = (coords.astype(f32) + 0.5) * edge
+        rel = (pts - centers_vox) * w[:, None]
+        P = jax.ops.segment_sum((rel[:, :, None] * rel[:, None, :]).reshape(-1, 9),
+                                seg, num_segments=cap + 1)[:cap].reshape(cap, 3, 3)
+        v = jax.ops.segment_sum(rel, seg, num_segments=cap + 1)[:cap]
+        n = jax.ops.segment_sum(w, seg, num_segments=cap + 1)[:cap]
+
+        nn = jnp.maximum(n, 1.0)
+        mean_rel = v / nn[:, None]
+        Cov = P / nn[:, None, None] - mean_rel[:, None, :] * mean_rel[:, :, None]
+        lmbd, U = eigh3(Cov)
+
+        occupied = uniq != SENT
+        ratio2 = lmbd[:, 0] / jnp.maximum(lmbd[:, 2], 1e-20)
+        is_pl = occupied & (n >= 3) & (lmbd[:, 0] < min_eigen_value) & (
+            ratio2 < plane_thre[min(l, 3)])
+
+        # voxel centers back to absolute: reconstruct from the unique code
+        _, ucoords = vh.decode(jnp.where(occupied, uniq, 0))
+        ucenter = (ucoords.astype(f32) + 0.5) * edge
+        center_abs = ucenter + mean_rel
+
+        lsum = jnp.sum(lmbd, axis=-1) + 1e-10
+        quality = 1.0 - lmbd[:, 0] / lsum
+        keep = (
+            is_pl
+            & (lmbd[:, 1] > 1e-12)
+            & (lmbd[:, 0] / jnp.maximum(lmbd[:, 1], 1e-20) <= 0.12)
+            & (quality > 0.5)
+        )
+        outs.append(ScanPlanes(
+            center=center_abs, normal=U[..., :, 0],
+            quality=quality, sigma_n=jnp.sqrt(jnp.maximum(lmbd[:, 0] / lsum, 0.0)),
+            valid=keep,
+        ))
+
+        if l < levels - 1:
+            # subdivide: not a plane, populated enough (octree.cpp:664-668)
+            split_vox = occupied & ~is_pl & (n >= 6)
+            parent_split = parent_split & inb & split_vox[jnp.minimum(seg, cap - 1)]
+
+    return ScanPlanes(
+        center=jnp.concatenate([o.center for o in outs]),
+        normal=jnp.concatenate([o.normal for o in outs]),
+        quality=jnp.concatenate([o.quality for o in outs]),
+        sigma_n=jnp.concatenate([o.sigma_n for o in outs]),
+        valid=jnp.concatenate([o.valid for o in outs]),
+    )
+
+
+class IekfResult(NamedTuple):
+    x: NavState
+    ok: jnp.ndarray          # degeneracy verdict: lambda_min(nn^T) >= 14
+    match_num: jnp.ndarray
+    nnt_min: jnp.ndarray
+    iters: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("ms", "max_iter", "use_vnc"))
+def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
+                scan_planes: ScanPlanes, params: vm.MapParams, ms: vm.MapStatic,
+                max_iter: int, use_vnc: bool) -> IekfResult:
+    """LioStateEstimation (odometry.cpp:64-255). x in f64; points f32.
+
+    Stopping protocol: converged (|drot|<0.01 deg, |dp|<0.015 cm) or
+    next-to-last iteration bumps rematch_num; rematch_num>=2 or last
+    iteration stops and applies the posterior cov (I-G)P (cpp:205-230)."""
+    x_prop = x
+    cov_inv = jnp.linalg.inv(x.cov)
+    f32 = pts_body.dtype
+    phat = so3.hat(pts_body)
+
+    def one_iter(carry):
+        it, rematch, stop, x_c, nnt_last, match_last = carry
+        R32 = x_c.R.astype(f32)
+        p32 = x_c.p.astype(f32)
+        rot_var = x_c.cov[0:3, 0:3].astype(f32)
+        tsl_var = x_c.cov[3:6, 3:6].astype(f32)
+
+        var_world = (
+            jnp.einsum("ij,njk,lk->nil", R32, var_body, R32)
+            + phat @ rot_var @ jnp.swapaxes(phat, -1, -2)
+            + tsl_var
+        )
+        wld = pts_body @ R32.T + p32
+        ok, nrm, ctr, sigma_d = vm.match_points(m, wld, var_world, params, ms)
+        ok = ok & valid
+
+        w_r = jnp.where(ok, 1.0 / (0.0005 + sigma_d), 0.0)
+        resi = jnp.sum(nrm * (wld - ctr), axis=-1)
+        jac_rot = jnp.einsum("nij,jk,nk->ni", phat, R32.T, nrm)
+        jac = jnp.concatenate([jac_rot, nrm], axis=-1).astype(jnp.float64)
+        w64 = w_r.astype(jnp.float64)
+        HTH = jnp.einsum("n,ni,nj->ij", w64, jac, jac)
+        HTz = -jnp.einsum("n,ni,n->i", w64, jac, resi.astype(jnp.float64))
+        nnt = jnp.einsum("n,ni,nj->ij", ok.astype(jnp.float64), nrm.astype(jnp.float64),
+                         nrm.astype(jnp.float64))
+        match_num = jnp.sum(ok, dtype=jnp.int32)
+
+        if use_vnc:
+            sp = scan_planes
+            c_w = sp.center @ R32.T + p32
+            n_w = sp.normal @ R32.T
+            n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
+            found, n_map, _, _ = vm.match_neighbors(m, c_w, params, ms)
+            n_map = n_map / jnp.maximum(jnp.linalg.norm(n_map, axis=-1, keepdims=True), 1e-12)
+            dot = jnp.abs(jnp.sum(n_w * n_map, axis=-1))
+            use = sp.valid & found & (dot >= 0.7)
+            S = jnp.eye(3, dtype=f32) - n_map[:, :, None] * n_map[:, None, :]
+            r = jnp.einsum("sij,sj->si", S, n_w)
+            Jr = -jnp.einsum("sij,jk,skl->sil", S, R32, so3.hat(sp.normal))
+            wv = 0.1 * sp.quality / (sp.sigma_n * sp.sigma_n + 0.01)
+            wv = jnp.where(use & jnp.isfinite(wv), wv, 0.0).astype(jnp.float64)
+            # J_pos = 0 (cpp:179-182): VNC only informs the rotation block
+            Jr64 = Jr.astype(jnp.float64)
+            HTH = HTH.at[0:3, 0:3].add(jnp.einsum("s,sia,sib->ab", wv, Jr64, Jr64))
+            HTz = HTz.at[0:3].add(-jnp.einsum("s,sia,si->a", wv, Jr64,
+                                              r.astype(jnp.float64)))
+
+        H_T_H = jnp.zeros((DIM, DIM), jnp.float64).at[0:6, 0:6].set(HTH)
+        K_1 = jnp.linalg.inv(H_T_H + cov_inv)
+        G6 = K_1[:, 0:6] @ HTH                      # (DIM, 6)
+        from vina_slam_tpu.core.state import boxminus, boxplus
+        vec = boxminus(x_prop, x_c)
+        sol = K_1[:, 0:6] @ HTz + vec - G6 @ vec[0:6]
+        x_n = boxplus(x_c, sol)
+
+        rot_add = jnp.linalg.norm(sol[0:3])
+        tra_add = jnp.linalg.norm(sol[3:6])
+        converged = (rot_add * 57.3 < 0.01) & (tra_add * 100 < 0.015)
+        bump = converged | ((rematch == 0) & (it == max_iter - 2))
+        rematch_n = rematch + bump.astype(rematch.dtype)
+        stop_n = (rematch_n >= 2) | (it == max_iter - 1)
+
+        G = jnp.zeros((DIM, DIM), jnp.float64).at[:, 0:6].set(G6)
+        cov_post = (jnp.eye(DIM, dtype=jnp.float64) - G) @ x_c.cov
+        x_n = x_n._replace(cov=jnp.where(stop_n, cov_post, x_c.cov))
+        return (it + 1, rematch_n, stop_n, x_n, nnt, match_num)
+
+    def cond(carry):
+        it, rematch, stop, *_ = carry
+        return (it < max_iter) & ~stop
+
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False), x,
+            jnp.zeros((3, 3), jnp.float64), jnp.asarray(0, jnp.int32))
+    it, rematch, stop, x_out, nnt, match_num = jax.lax.while_loop(cond, one_iter, init)
+
+    evals, _ = eigh3(nnt)
+    return IekfResult(x=x_out, ok=evals[0] >= 14.0, match_num=match_num,
+                      nnt_min=evals[0], iters=it)
+
+
+# ------------------------------------------------------------ kdtree boot
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
+                    max_iter: int = 4):
+    """lio_state_estimation_kdtree (odometry.cpp:267-439): bootstrap odometry
+    against an accumulated downsampled cloud. The PCL KdTree 5-NN is a
+    brute-force [N, M] distance matmul + top_k (MXU-friendly); plane fit via
+    the A x = -1 solve with the 0.1 residual gate; prior deweighted by 1000.
+    """
+    x_prop = x
+    cov_inv = jnp.linalg.inv(x.cov) / 1000.0
+    f32 = pts_body.dtype
+    phat = so3.hat(pts_body)
+    bigdist = jnp.asarray(1e12, f32)
+
+    def knn_planes(x_c):
+        R32, p32 = x_c.R.astype(f32), x_c.p.astype(f32)
+        wld = pts_body @ R32.T + p32
+        d2 = (
+            jnp.sum(wld * wld, axis=-1, keepdims=True)
+            - 2.0 * wld @ map_pts.T
+            + jnp.sum(map_pts * map_pts, axis=-1)[None, :]
+        )
+        d2 = jnp.where(map_valid[None, :], d2, bigdist)
+        _, idx = jax.lax.top_k(-d2, NMATCH)
+        A = map_pts[idx]                       # (N, 5, 3)
+        ones = -jnp.ones((NMATCH,), f32)
+        AtA = jnp.einsum("nki,nkj->nij", A, A)
+        Atb = jnp.einsum("nki,k->ni", A, ones)
+        direct = jnp.linalg.solve(
+            AtA + 1e-9 * jnp.eye(3, dtype=f32), Atb[..., None])[..., 0]
+        fit_ok = jnp.all(
+            jnp.abs(jnp.einsum("nki,ni->nk", A, direct) + 1.0) <= 0.1, axis=-1)
+        dnorm = jnp.linalg.norm(direct, axis=-1)
+        d = 1.0 / jnp.maximum(dnorm, 1e-12)
+        normal = direct * d[:, None]
+        return fit_ok & valid, normal, d
+
+    def one_iter(carry):
+        it, rematch, stop, refind, x_c, ok, normal, dconst = carry
+        ok2, normal2, d2 = knn_planes(x_c)
+        ok = jnp.where(refind, ok2, ok)
+        normal = jnp.where(refind, normal2, normal)
+        dconst = jnp.where(refind, d2, dconst)
+
+        R32, p32 = x_c.R.astype(f32), x_c.p.astype(f32)
+        wld = pts_body @ R32.T + p32
+        pd2 = jnp.sum(normal * wld, axis=-1) + dconst
+        jac_rot = jnp.einsum("nij,jk,nk->ni", phat, R32.T, normal)
+        jac = jnp.concatenate([jac_rot, normal], axis=-1).astype(jnp.float64)
+        w = ok.astype(jnp.float64)
+        HTH = jnp.einsum("n,ni,nj->ij", w, jac, jac)
+        HTz = -jnp.einsum("n,ni,n->i", w, jac, pd2.astype(jnp.float64))
+
+        H_T_H = jnp.zeros((DIM, DIM), jnp.float64).at[0:6, 0:6].set(HTH)
+        K_1 = jnp.linalg.inv(H_T_H + cov_inv)
+        G6 = K_1[:, 0:6] @ HTH
+        from vina_slam_tpu.core.state import boxminus, boxplus
+        vec = boxminus(x_prop, x_c)
+        sol = K_1[:, 0:6] @ HTz + vec - G6 @ vec[0:6]
+        x_n = boxplus(x_c, sol)
+
+        rot_add = jnp.linalg.norm(sol[0:3])
+        tra_add = jnp.linalg.norm(sol[3:6])
+        converged = (rot_add * 57.3 < 0.01) & (tra_add * 100 < 0.015)
+        rematch_n = rematch + converged.astype(rematch.dtype)
+        refind_n = converged | ((it == max_iter - 2) & (rematch == 0))
+        stop_n = (rematch_n >= 2) | (it == max_iter - 1)
+        G = jnp.zeros((DIM, DIM), jnp.float64).at[:, 0:6].set(G6)
+        cov_post = (jnp.eye(DIM, dtype=jnp.float64) - G) @ x_c.cov
+        x_n = x_n._replace(cov=jnp.where(stop_n, cov_post, x_c.cov))
+        return (it + 1, rematch_n, stop_n, refind_n, x_n, ok, normal, dconst)
+
+    def cond(carry):
+        it, rematch, stop, *_ = carry
+        return (it < max_iter) & ~stop
+
+    N = pts_body.shape[0]
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(True),
+            x, jnp.zeros(N, bool), jnp.zeros((N, 3), f32), jnp.zeros(N, f32))
+    out = jax.lax.while_loop(cond, one_iter, init)
+    return out[4]

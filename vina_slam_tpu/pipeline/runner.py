@@ -1,0 +1,527 @@
+"""The per-scan SLAM orchestrator.
+
+Reference: the dedicated SLAM thread thd_odometry_localmapping
+(src/pipeline/local_mapping.cpp:258-572) plus the initialization wrapper
+(src/platform/ros2/node.cpp:293-366) and system_reset (node.cpp:368-408).
+
+Host code here only sequences jitted device programs and moves O(scan)
+buffers; every compute stage (deskew, downsample, IEKF, recut, BA, margi)
+is a fixed-shape XLA program. Variable scan sizes are padded to buckets
+(SCAN_BUCKETS) so each bucket compiles exactly once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vina_slam_tpu.core import state as st
+from vina_slam_tpu.core import pointcov
+from vina_slam_tpu.core.config import SlamConfig
+from vina_slam_tpu.core.constants import SCAN_BUCKETS
+from vina_slam_tpu.estimation import preintegration as pre
+from vina_slam_tpu.estimation.ekf import ImuEkf
+from vina_slam_tpu.mapping import ba, factors as fx, voxel_map as vm
+from vina_slam_tpu.ops import downsample as ds
+from vina_slam_tpu.pipeline import initialization as init_mod
+from vina_slam_tpu.pipeline import odometry as odom
+from vina_slam_tpu.sensor.sync import Frame
+
+
+def pick_bucket(n: int) -> int:
+    for b in SCAN_BUCKETS:
+        if n <= b:
+            return b
+    return SCAN_BUCKETS[-1]
+
+
+def pad_points(pts, rel=None, bucket=None):
+    n = pts.shape[0]
+    b = bucket or pick_bucket(n)
+    out = np.zeros((b, 3), np.float32)
+    out[:n] = pts
+    valid = np.zeros(b, bool)
+    valid[:n] = True
+    if rel is None:
+        return jnp.asarray(out), jnp.asarray(valid)
+    r = np.zeros(b, np.float32)
+    r[:n] = rel
+    return jnp.asarray(out), jnp.asarray(r), jnp.asarray(valid)
+
+
+@jax.jit
+def _win_world(win_pts, win_valid, Rs, ps):
+    """Window body points -> world under the current window poses."""
+    R32 = Rs.astype(jnp.float32)
+    p32 = ps.astype(jnp.float32)
+    w = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
+    return jnp.where(win_valid[..., None], w, 1e7)  # park invalid far away
+
+
+@jax.jit
+def _var_init_jit(pts, ext_R, ext_p, dept_err, beam_err):
+    return pointcov.var_init(ext_R, ext_p, pts, dept_err, beam_err)
+
+
+@jax.jit
+def _world_var_jit(pts_body, var_body, R, p, cov):
+    return pointcov.world_var(pts_body, var_body, R, p, cov)
+
+
+@dataclass
+class RunnerStats:
+    frames: int = 0
+    degrade_cnt: int = 0
+    ba_runs: int = 0
+    init_rounds: int = 0
+    resets: int = 0
+    evictions: int = 0
+
+
+class SlamRunner:
+    """End-to-end LiDAR-inertial SLAM on one device."""
+
+    def __init__(self, cfg: SlamConfig, npad_map: int = 16384):
+        self.cfg = cfg
+        self.npad_map = npad_map
+        o, lb, tp = cfg.odometry, cfg.local_ba, cfg.tpu
+        self.W = lb.win_size
+        self.ms = vm.MapStatic(
+            capacity=tp.map_capacity, levels=lb.max_layer + 1,
+            probe=tp.probe_len, max_new=tp.max_new_voxels,
+            pool_capacity=tp.fix_pool_capacity)
+        self.params = vm.MapParams(
+            voxel_size=jnp.asarray(o.voxel_size, jnp.float32),
+            min_eigen_value=jnp.asarray(o.min_eigen_value, jnp.float32),
+            plane_thre=jnp.asarray(cfg.plane_thre_inv, jnp.float32),
+            min_point=jnp.asarray(cfg.min_point, jnp.float32),
+            max_points=jnp.asarray(100.0, jnp.float32))
+        self.noise_meas = np.diag(np.repeat([lb.cov_gyr, lb.cov_acc], 3))
+        self.noise_walk = np.diag(np.repeat([lb.rdw_gyr, lb.rdw_acc], 3))
+
+        self.ekf = ImuEkf(
+            cov_gyr=np.full(3, o.cov_gyr), cov_acc=np.full(3, o.cov_acc),
+            cov_bias_gyr=np.full(3, o.rdw_gyr), cov_bias_acc=np.full(3, o.rdw_acc),
+            ext_R=cfg.ext_R, ext_p=cfg.ext_p, point_notime=bool(o.point_notime))
+        self.imupre_scale_gravity = 1.0
+
+        self.reset_containers()
+        self.stats = RunnerStats()
+        # trajectory store: scan index -> [t, R, p]; BA refines the window tail
+        self.traj: list = []
+
+    # ------------------------------------------------------------ lifecycle
+    def reset_containers(self):
+        W, Np = 0, self.npad_map
+        self.map = vm.make_map(self.ms)
+        self.pool = vm.make_pool(self.ms)
+        self.x_curr = st.identity_state()
+        self.win_count = 0
+        self.win_base = 0
+        self.x_buf: list = []
+        self.pre_buf: list = []
+        self.win_pts = jnp.zeros((self.W, Np, 3), jnp.float32)
+        self.win_var = jnp.zeros((self.W, Np, 3, 3), jnp.float32)
+        self.win_valid = jnp.zeros((self.W, Np), bool)
+        self.motion_init_flag = True
+        self.jour = 0.0
+        self.last_pos = np.zeros(3)
+        self.release_flag = False
+        # init collection
+        self.pl_origs: list = []
+        self.beg_times: list = []
+        self.vec_imus: list = []
+        # kdtree bootstrap cloud
+        self.boot_pts = jnp.zeros((65536, 3), jnp.float32)
+        self.boot_valid = jnp.zeros(65536, bool)
+
+    def system_reset(self, imu_block):
+        """system_reset (node.cpp:368-408)."""
+        self.reset_containers()
+        self.x_curr = self.x_curr._replace(p=jnp.asarray([0.0, 0.0, 30.0]))
+        self.ekf.mean_acc = np.zeros(3)
+        self.ekf.init_num = 0
+        self.ekf.init_flag = False
+        if imu_block is not None:
+            self.ekf.imu_init(imu_block)
+            self.x_curr = self.x_curr._replace(
+                g=jnp.asarray(-self.ekf.mean_acc * self.imupre_scale_gravity))
+        self.stats.resets += 1
+
+    # ------------------------------------------------------------ main loop
+    def process_frame(self, frame: Frame):
+        """One scan through the pipeline. Returns a dict of outputs or None
+        while initializing."""
+        scan = frame.scan
+        status, self.x_curr, deskewed, cond_imu = self.ekf.process(
+            self.x_curr, scan.pts, scan.rel_time, frame.beg_time,
+            frame.end_time, frame.imu)
+        if status == 0:
+            return None
+
+        if self.motion_init_flag:
+            return self._initialization(frame, deskewed, cond_imu)
+        return self._steady_step(frame, deskewed, cond_imu)
+
+    # ------------------------------------------------------------- steady
+    def _steady_step(self, frame: Frame, deskewed, cond_imu):
+        cfg = self.cfg
+        o = cfg.odometry
+        full_pts, full_rel, full_valid = pad_points(deskewed, frame.scan.rel_time)
+
+        # downsample for mapping (local_mapping.cpp:396-403)
+        dpts, dvalid, n = ds.downsample_mean(full_pts, full_valid,
+                                             jnp.asarray(o.down_size, jnp.float32),
+                                             self.npad_map)
+        if int(n) < 2000:
+            dpts, dvalid, n = ds.downsample_mean(
+                full_pts, full_valid, jnp.asarray(o.down_size / 2, jnp.float32),
+                self.npad_map)
+
+        ext_R = jnp.asarray(cfg.ext_R, jnp.float32)
+        ext_p = jnp.asarray(cfg.ext_p, jnp.float32)
+        map_body, map_var = _var_init_jit(dpts, ext_R, ext_p, o.dept_err, o.beam_err)
+        odo_body, odo_var = _var_init_jit(full_pts, ext_R, ext_p, o.dept_err, o.beam_err)
+
+        # VNC scan planes on the full-res body cloud (odometry.cpp:85-96)
+        planes = odom.extract_scan_planes(
+            odo_body, full_valid, self.params.voxel_size,
+            self.params.min_eigen_value, tuple(np.asarray(self.params.plane_thre)),
+            levels=self.ms.levels)
+
+        res = odom.iekf_update(
+            self.x_curr, self.map, odo_body, odo_var, full_valid, planes,
+            self.params, self.ms, max_iter=4, use_vnc=True)
+        self.x_curr = res.x
+        if bool(res.ok):
+            self.stats.degrade_cnt = max(0, self.stats.degrade_cnt - 1)
+        else:
+            self.stats.degrade_cnt += 1
+
+        # world-frame vars at insertion (pvec_update, point_utils.cpp:54-65)
+        _, w_var = _world_var_jit(map_body, map_var, self.x_curr.R,
+                                  self.x_curr.p, self.x_curr.cov)
+
+        # window push (local_mapping.cpp:434-441)
+        i = self.win_count
+        self.win_pts = self.win_pts.at[i].set(map_body)
+        self.win_var = self.win_var.at[i].set(w_var)
+        self.win_valid = self.win_valid.at[i].set(dvalid)
+        self.x_buf.append(self.x_curr)
+        if self.win_count >= 1:
+            prev = self.x_buf[-2]
+            self.pre_buf.append(pre.factor_from_block(
+                cond_imu, np.asarray(prev.bg), np.asarray(prev.ba),
+                self.noise_meas, self.noise_walk, self.imupre_scale_gravity))
+        self.win_count += 1
+
+        self.traj.append([float(self.x_curr.t), np.asarray(self.x_curr.R),
+                          np.asarray(self.x_curr.p)])
+
+        out = self._map_update_and_ba(cond_imu)
+        self.stats.frames += 1
+        out.update(
+            pose_R=np.asarray(self.x_curr.R), pose_p=np.asarray(self.x_curr.p),
+            t=float(self.x_curr.t), degenerate=not bool(res.ok),
+            match_num=int(res.match_num))
+        return out
+
+    def _stacked_poses(self):
+        Rs = jnp.stack([x.R for x in self.x_buf] +
+                       [self.x_buf[-1].R] * (self.W - self.win_count))
+        ps = jnp.stack([x.p for x in self.x_buf] +
+                       [self.x_buf[-1].p] * (self.W - self.win_count))
+        return Rs, ps
+
+    def _map_update_and_ba(self, cond_imu):
+        cfg = self.cfg
+        out = {}
+        Rs, ps = self._stacked_poses()
+        win_w = _win_world(self.win_pts, self.win_valid, Rs, ps)
+        self.map, slots, _ = vm.recut(
+            self.map, self.pool, win_w, self.win_valid, self.params, self.ms,
+            self.W, jnp.asarray(self.jour, jnp.float32))
+
+        if self.win_count >= self.W:
+            factors = fx.extract_factors(
+                self.map, slots, self.win_pts, self.win_valid, self.params,
+                self.ms, cfg.tpu.max_voxels_ba, self.W)
+
+            if cfg.general.if_BA and len(self.pre_buf) == self.W - 1:
+                pre_st = jax.tree_util.tree_map(
+                    lambda *a: jnp.stack(a), *self.pre_buf)
+                w0 = ba.WindowPoses(
+                    R=Rs.astype(jnp.float64), p=ps.astype(jnp.float64),
+                    v=jnp.stack([x.v for x in self.x_buf]),
+                    bg=jnp.stack([x.bg for x in self.x_buf]),
+                    ba=jnp.stack([x.ba for x in self.x_buf]),
+                    g=self.x_buf[-1].g)
+                lm = ba.damping_iter(
+                    w0, factors, pre_st, jnp.asarray(cfg.local_ba.imu_coef),
+                    self.W, max_iter=10)
+                self._absorb_ba(lm)
+                self.stats.ba_runs += 1
+                Rs, ps = self._stacked_poses()
+
+            # marginalize the oldest frame (local_mapping.cpp:505-546)
+            win_w = _win_world(self.win_pts, self.win_valid, Rs, ps)
+            self.map, self.pool = vm.margi(
+                self.map, self.pool, win_w, self.win_var, self.win_valid,
+                self.params, self.ms, jnp.asarray(self.jour, jnp.float32), mgsize=1)
+
+            # path rewrite for the refined window (publishers.cpp:99-131)
+            for k, x in enumerate(self.x_buf):
+                idx = len(self.traj) - self.win_count + k
+                if 0 <= idx < len(self.traj):
+                    self.traj[idx] = [float(x.t), np.asarray(x.R), np.asarray(x.p)]
+
+            self._journey_update()
+            self._shift_window()
+        return out
+
+    def _absorb_ba(self, lm: ba.LMResult):
+        """Write LM-refined poses back into the window states and x_curr
+        (local_mapping.cpp:499-502)."""
+        for k in range(self.win_count):
+            self.x_buf[k] = self.x_buf[k]._replace(
+                R=lm.poses.R[k], p=lm.poses.p[k], v=lm.poses.v[k],
+                bg=lm.poses.bg[k], ba=lm.poses.ba[k])
+        self.pre_buf = [jax.tree_util.tree_map(lambda a, i=i: a[i], lm.pre_f)
+                        for i in range(self.W - 1)]
+        self.x_curr = self.x_curr._replace(
+            R=lm.poses.R[self.win_count - 1], p=lm.poses.p[self.win_count - 1])
+
+    def _journey_update(self):
+        """700 m release cadence (local_mapping.cpp:510-519 + 317-344)."""
+        if (self.win_base + self.win_count) % 10 == 0:
+            p = np.asarray(self.x_curr.p)
+            spat = float(np.linalg.norm(p - self.last_pos))
+            if spat > 0.5:
+                self.jour += spat
+                self.last_pos = p
+                self.release_flag = True
+        if self.release_flag:
+            self.release_flag = False
+            self.map, self.pool = vm.evict(
+                self.map, self.pool, jnp.asarray(self.jour, jnp.float32),
+                self.params, self.ms)
+            self.stats.evictions += 1
+
+    def _shift_window(self, mgsize: int = 1):
+        self.win_pts = jnp.roll(self.win_pts, -mgsize, axis=0)
+        self.win_var = jnp.roll(self.win_var, -mgsize, axis=0)
+        self.win_valid = jnp.roll(self.win_valid, -mgsize, axis=0)
+        self.win_valid = self.win_valid.at[self.W - mgsize:].set(False)
+        self.x_buf = self.x_buf[mgsize:]
+        self.pre_buf = self.pre_buf[mgsize:]
+        self.win_base += mgsize
+        self.win_count -= mgsize
+
+    # ------------------------------------------------------ initialization
+    def _initialization(self, frame: Frame, deskewed, cond_imu):
+        """VINA_SLAM::initialization (node.cpp:293-366)."""
+        cfg = self.cfg
+        o = cfg.odometry
+        if self.win_count == 0:
+            self.imupre_scale_gravity = self.ekf.scale_gravity
+
+        full_pts, full_rel, full_valid = pad_points(deskewed, frame.scan.rel_time)
+        downkd = max(o.down_size, 0.5)
+        kpts, kvalid, kn = ds.downsample_mean(
+            full_pts, full_valid, jnp.asarray(downkd, jnp.float32), 8192)
+        ext_R = jnp.asarray(cfg.ext_R, jnp.float32)
+        ext_p = jnp.asarray(cfg.ext_p, jnp.float32)
+        kbody, kvar = _var_init_jit(kpts, ext_R, ext_p, o.dept_err, o.beam_err)
+
+        # kdtree-bootstrap odometry (odometry.cpp:267-439)
+        n_boot = int(jnp.sum(self.boot_valid))
+        if n_boot >= 100:
+            self.x_curr = odom.iekf_update_knn(
+                self.x_curr, self.boot_pts, self.boot_valid, kbody, kvalid)
+        self._boot_insert(kbody, kvalid)
+
+        self.x_buf.append(self.x_curr)
+        self.win_count += 1
+        if self.win_count > 1:
+            prev = self.x_buf[-2]
+            self.pre_buf.append(pre.factor_from_block(
+                cond_imu, np.asarray(prev.bg), np.asarray(prev.ba),
+                self.noise_meas, self.noise_walk, self.imupre_scale_gravity))
+
+        # keep the time-sorted close-downsampled original for init BA
+        # (node.cpp:333-341)
+        cpts, crel, cvalid, cn = ds.downsample_close(
+            full_pts, full_rel, full_valid, jnp.asarray(o.down_size, jnp.float32),
+            self.npad_map)
+        if int(cn) < 1000:
+            cpts, crel, cvalid, cn = ds.downsample_close(
+                full_pts, full_rel, full_valid,
+                jnp.asarray(o.down_size / 2, jnp.float32), self.npad_map)
+        order = jnp.argsort(jnp.where(cvalid, crel, jnp.inf))
+        self.pl_origs.append((cpts[order], crel[order], cvalid[order]))
+        self.beg_times.append(frame.beg_time)
+        self.vec_imus.append(cond_imu)
+
+        self.traj.append([float(self.x_curr.t), np.asarray(self.x_curr.R),
+                          np.asarray(self.x_curr.p)])
+
+        if self.win_count >= self.W:
+            ok = self._motion_init()
+            if ok:
+                self.motion_init_flag = False
+                # fall through to BA + margi like the reference loop
+                out = self._post_init_finalize(cond_imu)
+                return out
+            self.system_reset(frame.imu)
+            return None
+        return None
+
+    def _boot_insert(self, body_pts, valid, cap_voxel=0.5):
+        """Insert the registered scan into the bootstrap cloud and
+        re-downsample at 0.5 m (odometry.cpp:428-439)."""
+        R32 = self.x_curr.R.astype(jnp.float32)
+        p32 = self.x_curr.p.astype(jnp.float32)
+        wld = body_pts @ R32.T + p32
+        merged = jnp.concatenate([self.boot_pts, wld])
+        mvalid = jnp.concatenate([self.boot_valid, valid])
+        pts2, valid2, _ = ds.downsample_mean(
+            merged, mvalid, jnp.asarray(cap_voxel, jnp.float32), 65536)
+        self.boot_pts, self.boot_valid = pts2, valid2
+
+    def _motion_init(self) -> bool:
+        """Initialization::motion_init (initialization.cpp:158-367)."""
+        cfg = self.cfg
+        W = self.W
+        params_orig = self.params
+        params_relax = self.params._replace(
+            min_eigen_value=jnp.asarray(0.02, jnp.float32),
+            plane_thre=jnp.full(4, 0.25, jnp.float32))
+        params = params_relax
+        converge_flag = 0
+        converge_thre = 0.05
+        is_degrade = True
+        gvec = None
+        eigvalue = np.zeros(3)
+
+        for round_i in range(10):
+            self.stats.init_rounds += 1
+            if converge_flag == 1:
+                params = params_orig
+
+            self.map = vm.make_map(self.ms)
+            self.pool = vm.make_pool(self.ms)
+
+            # re-deskew each window cloud with current states
+            for i in range(W):
+                l = max(i - 1, 0)
+                pts_i, rel_i, valid_i = self.pl_origs[i]
+                body = init_mod.init_deskew(
+                    self.x_buf[i], np.asarray(self.x_buf[l].bg),
+                    np.asarray(self.x_buf[l].ba), self.vec_imus[i],
+                    self.beg_times[i], pts_i, rel_i, valid_i,
+                    cfg.ext_R, cfg.ext_p, self.imupre_scale_gravity)
+                self.win_pts = self.win_pts.at[i].set(body)
+                self.win_valid = self.win_valid.at[i].set(valid_i)
+
+            Rs, ps = self._stacked_poses()
+            win_w = _win_world(self.win_pts, self.win_valid, Rs, ps)
+            self.map, slots, _ = vm.recut(
+                self.map, self.pool, win_w, self.win_valid, params, self.ms,
+                W, jnp.asarray(0.0, jnp.float32))
+            factors = fx.extract_factors(
+                self.map, slots, self.win_pts, self.win_valid, params, self.ms,
+                cfg.tpu.max_voxels_ba, W)
+            if int(factors.n_valid) < 10:
+                break
+
+            pre_st = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *self.pre_buf)
+            w0 = ba.WindowPoses(
+                R=Rs.astype(jnp.float64), p=ps.astype(jnp.float64),
+                v=jnp.stack([x.v for x in self.x_buf]),
+                bg=jnp.stack([x.bg for x in self.x_buf]),
+                ba=jnp.stack([x.ba for x in self.x_buf]),
+                g=self.x_buf[0].g)
+            lm = ba.damping_iter(
+                w0, factors, pre_st, jnp.asarray(cfg.local_ba.imu_coef), W,
+                max_iter=3, with_gravity=True)
+            gvec = lm.poses.g
+            for k in range(W):
+                self.x_buf[k] = self.x_buf[k]._replace(
+                    R=lm.poses.R[k], p=lm.poses.p[k], v=lm.poses.v[k],
+                    bg=lm.poses.bg[k], ba=lm.poses.ba[k], g=gvec)
+
+            # rebuild preintegrations with optimized biases (cpp:269-273)
+            self.pre_buf = [
+                pre.factor_from_block(
+                    self.vec_imus[i], np.asarray(self.x_buf[i - 1].bg),
+                    np.asarray(self.x_buf[i - 1].ba), self.noise_meas,
+                    self.noise_walk, self.imupre_scale_gravity)
+                for i in range(1, W)
+            ]
+
+            r0, r1 = float(lm.residual0), float(lm.residual1)
+            if abs(r0 - r1) / max(abs(r0), 1e-30) < converge_thre and round_i >= 2:
+                # normal-spread eigenvalue from the factor planes (cpp:277-284)
+                Rs2 = jnp.stack([x.R for x in self.x_buf]).astype(jnp.float64)
+                ps2 = jnp.stack([x.p for x in self.x_buf]).astype(jnp.float64)
+                P, v, N, _ = fx._aggregate(factors, Rs2, ps2)
+                lmbd, U, _, _ = fx._eig_state(P, v, N)
+                eigvalue = np.asarray(init_mod.normal_spread_eig(
+                    U, factors.coe > 0))
+                is_degrade = eigvalue[0] < 15
+                converge_thre = 0.01
+                if converge_flag == 0:
+                    R2, p2, v2, g2 = init_mod.align_gravity(
+                        jnp.stack([x.R for x in self.x_buf]),
+                        jnp.stack([x.p for x in self.x_buf]),
+                        jnp.stack([x.v for x in self.x_buf]),
+                        self.x_buf[0].g)
+                    for k in range(W):
+                        self.x_buf[k] = self.x_buf[k]._replace(
+                            R=R2[k], p=p2[k], v=v2[k], g=g2)
+                    gvec = g2
+                    converge_flag = 1
+                    continue
+                else:
+                    break
+
+        self.params = params_orig
+        gnm = float(jnp.linalg.norm(self.x_buf[0].g)) if gvec is None else float(
+            jnp.linalg.norm(gvec))
+        if is_degrade or not (9.6 <= gnm <= 10.0):
+            return False
+
+        self.x_curr = self.x_buf[W - 1]
+        # give the window clouds real covariances for the first margi
+        o = cfg.odometry
+        for i in range(W):
+            body = self.win_pts[i]
+            var = pointcov.body_var(body, o.dept_err, o.beam_err)
+            _, wvar = _world_var_jit(body, var, self.x_buf[i].R,
+                                     self.x_buf[i].p, self.x_buf[i].cov)
+            self.win_var = self.win_var.at[i].set(wvar)
+        # refresh the trajectory with the initialized poses
+        for k in range(W):
+            idx = len(self.traj) - W + k
+            self.traj[idx] = [float(self.x_buf[k].t), np.asarray(self.x_buf[k].R),
+                              np.asarray(self.x_buf[k].p)]
+        return True
+
+    def _post_init_finalize(self, cond_imu):
+        """After init success the reference falls through to the
+        win_count >= win_size branch in the same loop pass
+        (local_mapping.cpp:373-376 -> 489)."""
+        return self._map_update_and_ba(cond_imu)
+
+    # --------------------------------------------------------------- output
+    def trajectory(self) -> np.ndarray:
+        """(N, 8) TUM-style array from the (BA-refined) path store."""
+        rows = []
+        from vina_slam_tpu.platform.io import rot_to_quat
+        for t, R, p in self.traj:
+            q = rot_to_quat(R)
+            rows.append([t, p[0], p[1], p[2], q[0], q[1], q[2], q[3]])
+        return np.asarray(rows)
