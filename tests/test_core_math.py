@@ -194,3 +194,25 @@ class TestPointCov:
         np.testing.assert_allclose(np.asarray(out_pts), pts @ R.T + p, atol=1e-12)
         v0 = np.asarray(pointcov.body_var(jnp.asarray(pts), 0.02, 0.05))
         np.testing.assert_allclose(np.asarray(out_var), R @ v0 @ R.T, atol=1e-12)
+
+
+class TestLinalgPSD:
+    def test_solve_and_inv(self):
+        from vina_slam_tpu.core import linalg as la
+        import jax
+        for n in (3, 15, 60):
+            B = rng.normal(size=(n, n))
+            A = B @ B.T + np.eye(n) * 0.1
+            b = rng.normal(size=n)
+            x = np.asarray(jax.jit(la.solve_psd)(jnp.asarray(A), jnp.asarray(b)))
+            np.testing.assert_allclose(A @ x, b, atol=1e-8)
+            Ainv = np.asarray(jax.jit(la.inv_psd)(jnp.asarray(A)))
+            np.testing.assert_allclose(Ainv, np.linalg.inv(A), atol=1e-8)
+
+    def test_matrix_rhs(self):
+        from vina_slam_tpu.core import linalg as la
+        B = rng.normal(size=(10, 10))
+        A = B @ B.T + np.eye(10)
+        X = rng.normal(size=(10, 4))
+        got = np.asarray(la.solve_psd(jnp.asarray(A), jnp.asarray(X)))
+        np.testing.assert_allclose(A @ got, X, atol=1e-9)

@@ -1,0 +1,131 @@
+"""rosbag2 reader tests: build a synthetic .db3 with CDR-encoded messages
+and replay it through the full decode+sync path."""
+
+import sqlite3
+import struct
+
+import numpy as np
+import pytest
+
+from vina_slam_tpu.core.config import SlamConfig
+from vina_slam_tpu.platform import rosbag
+
+rng = np.random.default_rng(11)
+
+
+def cdr_header(sec, nsec, frame="lidar"):
+    b = struct.pack("<iI", sec, nsec)
+    fid = frame.encode() + b"\x00"
+    b += struct.pack("<I", len(fid)) + fid
+    return b
+
+
+def align(buf: bytes, n: int) -> bytes:
+    r = len(buf) % n
+    return buf + b"\x00" * ((n - r) % n)
+
+
+def encode_imu(stamp, gyr, acc):
+    body = cdr_header(int(stamp), int((stamp % 1) * 1e9))
+    body = align(body, 8)
+    body += struct.pack("<4d", 0, 0, 0, 1)
+    body += struct.pack("<9d", *([0.0] * 9))
+    body += struct.pack("<3d", *gyr)
+    body += struct.pack("<9d", *([0.0] * 9))
+    body += struct.pack("<3d", *acc)
+    body += struct.pack("<9d", *([0.0] * 9))
+    return b"\x00\x01\x00\x00" + body
+
+
+def encode_pc2(stamp, pts, times):
+    n = len(pts)
+    body = cdr_header(int(stamp), int((stamp % 1) * 1e9))
+    body = align(body, 4)
+    body += struct.pack("<II", 1, n)  # height, width
+    fields = [("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+              ("intensity", 12, 7, 1), ("time", 16, 7, 1)]
+    body += struct.pack("<I", len(fields))
+    for name, off, dt, cnt in fields:
+        nm = name.encode() + b"\x00"
+        body = align(body, 4)
+        body += struct.pack("<I", len(nm)) + nm
+        body = align(body, 4)
+        body += struct.pack("<I", off)
+        body += struct.pack("<B", dt)
+        body = align(body, 4)
+        body += struct.pack("<I", cnt)
+    body += struct.pack("<B", 0)       # is_bigendian
+    body = align(body, 4)
+    body += struct.pack("<II", 20, 20 * n)  # point_step, row_step
+    blob = np.zeros((n, 5), np.float32)
+    blob[:, :3] = pts
+    blob[:, 4] = times
+    raw = blob.astype("<f4").tobytes()
+    body = align(body, 4)
+    body += struct.pack("<I", len(raw)) + raw
+    body += struct.pack("<B", 1)       # is_dense
+    return b"\x00\x01\x00\x00" + body
+
+
+def make_bag(path, imu_msgs, pc_msgs):
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, "
+                 "type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)")
+    conn.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, "
+                 "timestamp INTEGER, data BLOB)")
+    conn.execute("INSERT INTO topics VALUES (1, '/imu/data', "
+                 "'sensor_msgs/msg/Imu', 'cdr', '')")
+    conn.execute("INSERT INTO topics VALUES (2, '/velodyne_points', "
+                 "'sensor_msgs/msg/PointCloud2', 'cdr', '')")
+    for t, blob in imu_msgs:
+        conn.execute("INSERT INTO messages(topic_id, timestamp, data) VALUES (1, ?, ?)",
+                     (int(t * 1e9), blob))
+    for t, blob in pc_msgs:
+        conn.execute("INSERT INTO messages(topic_id, timestamp, data) VALUES (2, ?, ?)",
+                     (int(t * 1e9), blob))
+    conn.commit()
+    conn.close()
+
+
+class TestCdr:
+    def test_imu_roundtrip(self):
+        gyr = rng.normal(size=3)
+        acc = rng.normal(size=3)
+        stamp, g, a = rosbag.parse_imu(encode_imu(123.5, gyr, acc))
+        assert stamp == pytest.approx(123.5, abs=1e-6)
+        np.testing.assert_allclose(g, gyr, atol=1e-12)
+        np.testing.assert_allclose(a, acc, atol=1e-12)
+
+    def test_pc2_roundtrip(self):
+        pts = rng.uniform(-10, 10, (50, 3)).astype(np.float32)
+        times = np.linspace(0, 0.09, 50).astype(np.float32)
+        stamp, fields = rosbag.parse_pointcloud2(encode_pc2(7.25, pts, times))
+        assert stamp == pytest.approx(7.25, abs=1e-6)
+        np.testing.assert_allclose(fields["x"], pts[:, 0], atol=1e-6)
+        np.testing.assert_allclose(fields["time"], times, atol=1e-7)
+
+
+class TestReplay:
+    def test_bag_replay_frames(self, tmp_path):
+        path = str(tmp_path / "seq.db3")
+        imu, pcs = [], []
+        for t in np.arange(10.0, 11.5, 0.01):
+            imu.append((t, encode_imu(t, np.zeros(3), np.array([0, 0, 1.0]))))
+        for t in np.arange(10.0, 11.3, 0.1):
+            pts = rng.uniform(2, 10, (200, 3)).astype(np.float32)
+            times = np.sort(rng.uniform(0, 0.095, 200)).astype(np.float32)
+            pcs.append((t, encode_pc2(t, pts, times)))
+        make_bag(path, imu, pcs)
+
+        cfg = SlamConfig()
+        cfg.general.lid_topic = "/velodyne_points"
+        cfg.general.imu_topic = "/imu/data"
+        cfg.general.lidar_type = 1  # velodyne
+        cfg.general.blind = 0.0
+        cfg.general.point_filter_num = 1
+        frames = list(rosbag.replay_rosbag(path, cfg))
+        assert len(frames) >= 10
+        f = frames[0]
+        assert f.scan.pts.shape[0] > 150
+        assert f.imu.t.size > 4
+        assert (np.diff(f.scan.rel_time) >= 0).all()

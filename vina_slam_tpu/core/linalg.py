@@ -1,0 +1,85 @@
+"""Arithmetic-only dense linear algebra for TPU f64.
+
+The axon/XLA TPU backend implements LuDecomposition only for f32/c64, so
+jnp.linalg.inv/solve on the pipeline's f64 covariances and LM systems fails
+to compile on device. These routines use nothing but elementwise arithmetic
+and fori_loop (masked full-width column updates), so they lower on any
+backend at any dtype. Sizes in this codebase are tiny (3..153), so the
+O(n) sequential steps are negligible.
+
+All inputs are assumed symmetric PSD (state covariances, damped gauge-fixed
+Gauss-Newton systems). A floor on the pivot keeps near-singular systems
+finite; the LM reject/re-damp loop absorbs any resulting step-quality loss,
+mirroring how the reference's LDLT behaves on marginal systems.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cholesky_psd(A: jnp.ndarray, floor: float = 1e-30) -> jnp.ndarray:
+    """Lower Cholesky factor of a symmetric PSD matrix (..., n, n) using
+    masked column updates (no LAPACK)."""
+    n = A.shape[-1]
+    L0 = jnp.zeros_like(A)
+    idx = jnp.arange(n)
+
+    def body(i, L):
+        row_i = L[..., i, :] * (idx < i)                      # L[i, :i]
+        d2 = A[..., i, i] - jnp.sum(row_i * row_i, axis=-1)
+        d = jnp.sqrt(jnp.maximum(d2, floor))
+        col = (A[..., :, i] - jnp.einsum("...jk,...k->...j", L, row_i)) / d[..., None]
+        col = jnp.where(idx > i, col, 0.0)
+        col = col.at[..., i].set(d)
+        return L.at[..., :, i].set(col)
+
+    return jax.lax.fori_loop(0, n, body, L0)
+
+
+def solve_lower(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Forward substitution L y = b with b (..., n) or (..., n, m)."""
+    n = L.shape[-1]
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    y0 = jnp.zeros_like(b)
+
+    def body(i, y):
+        num = b[..., i, :] - jnp.einsum("...k,...km->...m", L[..., i, :], y)
+        return y.at[..., i, :].set(num / L[..., i, i][..., None])
+
+    y = jax.lax.fori_loop(0, n, body, y0)
+    return y[..., 0] if vec else y
+
+
+def solve_upper(U: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Back substitution U x = b (U upper triangular)."""
+    n = U.shape[-1]
+    vec = b.ndim == U.ndim - 1
+    if vec:
+        b = b[..., None]
+    x0 = jnp.zeros_like(b)
+
+    def body(k, x):
+        i = n - 1 - k
+        num = b[..., i, :] - jnp.einsum("...k,...km->...m", U[..., i, :], x)
+        return x.at[..., i, :].set(num / U[..., i, i][..., None])
+
+    x = jax.lax.fori_loop(0, n, body, x0)
+    return x[..., 0] if vec else x
+
+
+def solve_psd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for symmetric PSD A via Cholesky."""
+    L = cholesky_psd(A)
+    y = solve_lower(L, b)
+    return solve_upper(jnp.swapaxes(L, -1, -2), y)
+
+
+def inv_psd(A: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a symmetric PSD matrix (solve against I)."""
+    n = A.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    return solve_psd(A, eye)

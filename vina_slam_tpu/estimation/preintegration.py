@@ -18,6 +18,7 @@ import numpy as np
 
 from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM, IMU_BUCKET
+from vina_slam_tpu.core.linalg import inv_psd
 from vina_slam_tpu.core.state import NavState
 from vina_slam_tpu.sensor.sync import ImuBlock
 
@@ -153,7 +154,7 @@ def evaluate(f: PreintFactor, st1: NavState, st2: NavState, with_gravity: bool =
     rr = jnp.concatenate([
         so3.log(res_R), res_t, res_v, st2.bg - st1.bg, st2.ba - st1.ba,
     ])
-    cov_inv = jnp.linalg.inv(f.cov)
+    cov_inv = inv_psd(f.cov)
     cost = rr @ cov_inv @ rr
 
     JR_inv = so3.jr_inv(res_R)

@@ -10,7 +10,8 @@ optimizers.cpp:144-160):
 TPU design: the reference's 4-5 thread Hessian fan-out becomes the batched
 factor kernels in factors.py; the LM loop is a lax.while_loop whose carry
 holds (poses, damping, residual, bias-correction state); the 150x150 (or
-153x153) gauge-fixed solve runs in f64 via jnp.linalg.solve. IMU factor
+153x153) gauge-fixed solve runs in f64 via an arithmetic-only PSD
+Cholesky (core/linalg.py; TPU has no f64 LAPACK). IMU factor
 blocks are assembled with a statically unrolled loop over the W-1 window
 edges. Rejected steps roll back the preintegration bias corrections
 (optimizers.cpp:507-511).
@@ -26,6 +27,7 @@ import jax.numpy as jnp
 
 from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM
+from vina_slam_tpu.core.linalg import solve_psd
 from vina_slam_tpu.core.state import NavState
 from vina_slam_tpu.estimation import preintegration as pre
 from vina_slam_tpu.mapping import factors as fx
@@ -193,7 +195,7 @@ def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
         Hf = Hf.at[:gauge, :gauge].set(jnp.eye(gauge))
         gf = g.at[:gauge].set(0.0)
         D = jnp.diag(jnp.diag(Hf))
-        dxi = jnp.linalg.solve(Hf + u * D, -gf)
+        dxi = solve_psd(Hf + u * D, -gf)
 
         w_try = _apply_step(w_, dxi, W, with_gravity)
         pre_try = jax.vmap(pre.update_bias_state)(
@@ -254,7 +256,7 @@ def damping_iter_lidar_only(w: WindowPoses, lidar_f: fx.BAFactors,
         Hf = Hf.at[:6, :6].set(jnp.eye(6))
         gf = g.at[:6].set(0.0)
         D = jnp.diag(jnp.diag(Hf))
-        dxi = jnp.linalg.solve(Hf + u * D, -gf)
+        dxi = solve_psd(Hf + u * D, -gf)
         d = dxi.reshape(W, 6)
         w_try = w_._replace(
             R=jnp.einsum("wij,wjk->wik", w_.R, so3.exp(d[:, 0:3])),

@@ -301,12 +301,17 @@ def _seg_bf(slots, rel, var, valid, C):
     return out.reshape(C, 9, 9)
 
 
-def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, with_bf: bool):
+def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, with_bf: bool, jour):
     """Materialize fixed clusters: sealed slots keep their frozen stats,
-    unsealed slots recompute from the raw pool (enables fix_divide-style
-    redistribution after splits, octree.cpp:257-277)."""
+    unsealed slots recompute from the raw pool. Pool points are assigned
+    with child CREATION (fix_divide semantics, octree.cpp:257-277): a split
+    voxel's fixed points must create and populate missing children, not be
+    dropped. Roots are never created (evicted voxels stay gone).
+
+    Returns (m, fix, cov_fix, pool_slot)."""
     C = ms.capacity
-    slot, _, _ = descend(m, pool.pts, params, ms)
+    m, slot = assign_insert(m, pool.pts, pool.valid, params, ms, jour,
+                            create_roots=False)
     ok = pool.valid & (slot >= 0)
     _, centers, _ = slot_meta(m, slot, params)
     rel = pool.pts - centers
@@ -320,7 +325,7 @@ def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, with_bf: bool):
     if with_bf:
         bf = _seg_bf(slot, rel, pool.var, ok, C)
         cov_fix = jnp.where(m.sealed[:, None, None], m.cov_fix, bf)
-    return fix, cov_fix, slot
+    return m, fix, cov_fix, slot
 
 
 def _plane_judge(eig, level, params: MapParams):
@@ -352,9 +357,12 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     slots = jnp.full(flat_w.shape[0], -1, jnp.int32)
     levels_pt = jnp.zeros(flat_w.shape[0], jnp.int32)
 
+    # materialize fixed clusters once per recut (redistribution of fixed mass
+    # into children created THIS call lands at the next recut/margi)
+    m, fix, _, _ = _pool_fix(m, pool, params, ms, with_bf=False, jour=jour)
+
     for wave in range(ms.levels):
         m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
-        fix, _, _ = _pool_fix(m, pool, params, ms, with_bf=False)
         lv_pt, centers, _ = slot_meta(m, slots, params)
         rel = flat_w - centers
         wc = _seg_cluster(slots, rel, flat_v, C)
@@ -514,7 +522,7 @@ def margi(m: VoxelMap, pool: FixPool, win_pts_w, win_var_w, win_valid,
     flat_v = win_valid.reshape(-1)
 
     m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
-    fix, cov_fix, pool_slot = _pool_fix(m, pool, params, ms, with_bf=True)
+    m, fix, cov_fix, pool_slot = _pool_fix(m, pool, params, ms, with_bf=True, jour=jour)
 
     lv_pt, centers_pt, _ = slot_meta(m, slots, params)
     rel = flat_w - centers_pt

@@ -25,6 +25,7 @@ from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM, NMATCH
 from vina_slam_tpu.core.eigh3 import eigh3
 from vina_slam_tpu.core.state import NavState
+from vina_slam_tpu.core.linalg import inv_psd
 from vina_slam_tpu.mapping import voxel_hash as vh
 from vina_slam_tpu.mapping import voxel_map as vm
 
@@ -129,7 +130,7 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
     next-to-last iteration bumps rematch_num; rematch_num>=2 or last
     iteration stops and applies the posterior cov (I-G)P (cpp:205-230)."""
     x_prop = x
-    cov_inv = jnp.linalg.inv(x.cov)
+    cov_inv = inv_psd(x.cov)
     f32 = pts_body.dtype
     phat = so3.hat(pts_body)
 
@@ -181,7 +182,7 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
                                               r.astype(jnp.float64)))
 
         H_T_H = jnp.zeros((DIM, DIM), jnp.float64).at[0:6, 0:6].set(HTH)
-        K_1 = jnp.linalg.inv(H_T_H + cov_inv)
+        K_1 = inv_psd(H_T_H + cov_inv)
         G6 = K_1[:, 0:6] @ HTH                      # (DIM, 6)
         from vina_slam_tpu.core.state import boxminus, boxplus
         vec = boxminus(x_prop, x_c)
@@ -224,7 +225,7 @@ def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
     the A x = -1 solve with the 0.1 residual gate; prior deweighted by 1000.
     """
     x_prop = x
-    cov_inv = jnp.linalg.inv(x.cov) / 1000.0
+    cov_inv = inv_psd(x.cov) / 1000.0
     f32 = pts_body.dtype
     phat = so3.hat(pts_body)
     bigdist = jnp.asarray(1e12, f32)
@@ -244,9 +245,10 @@ def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
         AtA = jnp.einsum("nki,nkj->nij", A, A)
         Atb = jnp.einsum("nki,k->ni", A, ones)
         direct = jnp.linalg.solve(
-            AtA + 1e-9 * jnp.eye(3, dtype=f32), Atb[..., None])[..., 0]
+            AtA + 1e-6 * jnp.eye(3, dtype=f32), Atb[..., None])[..., 0]
         fit_ok = jnp.all(
             jnp.abs(jnp.einsum("nki,ni->nk", A, direct) + 1.0) <= 0.1, axis=-1)
+        fit_ok = fit_ok & jnp.all(jnp.isfinite(direct), axis=-1)
         dnorm = jnp.linalg.norm(direct, axis=-1)
         d = 1.0 / jnp.maximum(dnorm, 1e-12)
         normal = direct * d[:, None]
@@ -269,7 +271,7 @@ def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
         HTz = -jnp.einsum("n,ni,n->i", w, jac, pd2.astype(jnp.float64))
 
         H_T_H = jnp.zeros((DIM, DIM), jnp.float64).at[0:6, 0:6].set(HTH)
-        K_1 = jnp.linalg.inv(H_T_H + cov_inv)
+        K_1 = inv_psd(H_T_H + cov_inv)
         G6 = K_1[:, 0:6] @ HTH
         from vina_slam_tpu.core.state import boxminus, boxplus
         vec = boxminus(x_prop, x_c)

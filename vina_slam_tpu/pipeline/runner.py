@@ -84,9 +84,10 @@ class RunnerStats:
 class SlamRunner:
     """End-to-end LiDAR-inertial SLAM on one device."""
 
-    def __init__(self, cfg: SlamConfig, npad_map: int = 16384):
+    def __init__(self, cfg: SlamConfig, npad_map: int = 16384, verbose: bool = False):
         self.cfg = cfg
         self.npad_map = npad_map
+        self.verbose = verbose
         o, lb, tp = cfg.odometry, cfg.local_ba, cfg.tpu
         self.W = lb.win_size
         self.ms = vm.MapStatic(
@@ -305,10 +306,13 @@ class SlamRunner:
                 self.release_flag = True
         if self.release_flag:
             self.release_flag = False
-            self.map, self.pool = vm.evict(
-                self.map, self.pool, jnp.asarray(self.jour, jnp.float32),
-                self.params, self.ms)
-            self.stats.evictions += 1
+            # rebuild only if something can actually be released (the
+            # reference runs this on idle ticks; rebuilds are not free)
+            if self.jour > 700.0:
+                self.map, self.pool = vm.evict(
+                    self.map, self.pool, jnp.asarray(self.jour, jnp.float32),
+                    self.params, self.ms)
+                self.stats.evictions += 1
 
     def _shift_window(self, mgsize: int = 1):
         self.win_pts = jnp.roll(self.win_pts, -mgsize, axis=0)
@@ -351,14 +355,17 @@ class SlamRunner:
                 cond_imu, np.asarray(prev.bg), np.asarray(prev.ba),
                 self.noise_meas, self.noise_walk, self.imupre_scale_gravity))
 
-        # keep the time-sorted close-downsampled original for init BA
-        # (node.cpp:333-341)
+        # keep the time-sorted close-downsampled ORIGINAL (pre-deskew) cloud
+        # for init BA: the reference snapshots *pcl_curr before process()
+        # deskews it in place (node.cpp:300-302), and motion_init re-deskews
+        # from raw each round (initialization.cpp:223)
+        raw_pts, raw_rel, raw_valid = pad_points(frame.scan.pts, frame.scan.rel_time)
         cpts, crel, cvalid, cn = ds.downsample_close(
-            full_pts, full_rel, full_valid, jnp.asarray(o.down_size, jnp.float32),
+            raw_pts, raw_rel, raw_valid, jnp.asarray(o.down_size, jnp.float32),
             self.npad_map)
         if int(cn) < 1000:
             cpts, crel, cvalid, cn = ds.downsample_close(
-                full_pts, full_rel, full_valid,
+                raw_pts, raw_rel, raw_valid,
                 jnp.asarray(o.down_size / 2, jnp.float32), self.npad_map)
         order = jnp.argsort(jnp.where(cvalid, crel, jnp.inf))
         self.pl_origs.append((cpts[order], crel[order], cvalid[order]))
@@ -463,6 +470,11 @@ class SlamRunner:
             ]
 
             r0, r1 = float(lm.residual0), float(lm.residual1)
+            if self.verbose:
+                print(f"  [init r{round_i}] voxels={int(factors.n_valid)} "
+                      f"res {r0:.5g}->{r1:.5g} rel={abs(r0-r1)/max(abs(r0),1e-30):.4f} "
+                      f"|g|={float(jnp.linalg.norm(gvec)):.3f} flag={converge_flag}",
+                      flush=True)
             if abs(r0 - r1) / max(abs(r0), 1e-30) < converge_thre and round_i >= 2:
                 # normal-spread eigenvalue from the factor planes (cpp:277-284)
                 Rs2 = jnp.stack([x.R for x in self.x_buf]).astype(jnp.float64)
@@ -472,6 +484,9 @@ class SlamRunner:
                 eigvalue = np.asarray(init_mod.normal_spread_eig(
                     U, factors.coe > 0))
                 is_degrade = eigvalue[0] < 15
+                if self.verbose:
+                    print(f"  [init r{round_i}] converged: nnt eig={eigvalue}",
+                          flush=True)
                 converge_thre = 0.01
                 if converge_flag == 0:
                     R2, p2, v2, g2 = init_mod.align_gravity(
