@@ -60,14 +60,15 @@ def main():
             split = i + 1
             break
 
-    # phase 2: timed steady-state frames
-    jax.block_until_ready(runner.x_curr.p)
+    # phase 2: timed steady-state frames (fused path: async dispatch,
+    # fence only at the end)
+    runner.sync()
     t0 = time.perf_counter()
     n_timed = 0
     for f in frames[split:]:
         runner.process_frame(f)
         n_timed += 1
-    jax.block_until_ready(runner.x_curr.p)
+    runner.sync()
     elapsed = time.perf_counter() - t0
 
     scans_per_sec = n_timed / elapsed if n_timed else 0.0

@@ -16,6 +16,7 @@ frames, gts = synth.simulate_sequence(
 print(f"{len(frames)} frames")
 
 runner = SlamRunner(small_cfg(), npad_map=8192, verbose=True)
+print("fused:", runner.use_fused)
 gtd = {i: g for i, g in enumerate(gts)}
 for i, f in enumerate(frames):
     out = runner.process_frame(f)
@@ -37,3 +38,11 @@ print("map entries:", int((np.asarray(runner.map.keys) != -1).sum()),
       "dropped:", int(runner.map.n_dropped))
 traj = runner.trajectory()
 print("traj finite:", np.isfinite(traj).all())
+
+from vina_slam_tpu.platform.metrics import ate_rmse, associate
+ref_t = np.asarray([t for (t, R, p) in gts])
+ref_p = np.asarray([p for (t, R, p) in gts])
+tr = runner.trajectory()
+ie, ir = associate(tr[:, 0], ref_t)
+print("assoc:", len(ie), "ATE:", ate_rmse(tr[ie, 1:4], ref_p[ir]))
+print("last est:", tr[-1, 1:4], "last gt:", ref_p[ir[-1]] if len(ir) else None)

@@ -244,8 +244,15 @@ class TestMargi:
         m, pool = vm.margi(m, pool, win2, var, valid, par, MS2, jnp.asarray(0.0, jnp.float32), mgsize=1)
         assert bool(m.sealed[s])
         assert float(m.fix_N[s]) == pytest.approx(80)
-        # pool points of sealed voxels dropped
+        # pool points of sealed voxels are dropped the next time margi sees
+        # them (reference clears point_fix on the NEXT visit after sealing,
+        # octree.cpp:448-469); a third pass flushes the remainder
+        m, pool = vm.margi(m, pool, win2, var,
+                           jnp.zeros_like(valid), par, MS2,
+                           jnp.asarray(0.0, jnp.float32), mgsize=0)
         assert int(jnp.sum(pool.valid)) == 0
+        # sealed stats stay frozen at 80
+        assert float(m.fix_N[s]) == pytest.approx(80)
 
     def test_evict(self):
         m = vm.make_map(MS)

@@ -75,10 +75,10 @@ class LocalBAConfig:
 class TpuConfig:
     """TPU-side policy (no reference analog)."""
     map_capacity: int = 1 << 18        # voxel hash table slots
-    fix_pool_capacity: int = 1 << 20   # raw fixed-point pool size
+    fix_pool_capacity: int = 1 << 18   # raw fixed-point pool size
     max_voxels_ba: int = 4096          # padded voxel count per BA extract
     max_new_voxels: int = 4096         # new hash insertions per step
-    probe_len: int = 16                # linear-probe window
+    probe_len: int = 8                 # linear-probe window
     scan_dtype: str = "float32"
     solve_dtype: str = "float64"
 

@@ -121,6 +121,69 @@ def _deskew(pts, rel_time, valid_pts, pose_table, offt, n_valid, R_end, p_end, e
     return out.astype(f32)
 
 
+def build_intervals(last_imu, last_pcl_end_time, beg_time, end_time, imu: ImuBlock):
+    """Host-side interval preconditioning shared by the modular and fused
+    paths (imu_ekf.cpp:33-62 semantics): prepend last_imu, skip pre-scan
+    samples, midpoint gyro/acc, dt and offsets, padded to IMU_BUCKET.
+
+    Returns (arrays dict, cond ImuBlock, n_intervals)."""
+    ts = np.concatenate([[last_imu[0]], imu.t])
+    gs = np.concatenate([[last_imu[1]], imu.gyr])
+    accs = np.concatenate([[last_imu[2]], imu.acc])
+
+    avr_g, avr_a, dts, offts = [], [], [], []
+    for i in range(len(ts) - 1):
+        if ts[i] < last_pcl_end_time - 1e-12:
+            continue
+        cur = max(ts[i], last_pcl_end_time)
+        avr_g.append(0.5 * (gs[i] + gs[i + 1]))
+        avr_a.append(0.5 * (accs[i] + accs[i + 1]))
+        dts.append(ts[i + 1] - cur)
+        offts.append(cur - beg_time)
+    K = IMU_BUCKET
+    n = len(dts)
+    if n > K:
+        raise RuntimeError(f"IMU bucket overflow: {n} > {K}")
+
+    def pad(a, shape=()):
+        out = np.zeros((K,) + shape)
+        if n:
+            out[:n] = a
+        return out
+
+    arrays = dict(
+        avr_gyr=pad(np.stack(avr_g) if n else [], (3,)),
+        avr_acc=pad(np.stack(avr_a) if n else [], (3,)),
+        dt=pad(np.asarray(dts)),
+        offt=pad(np.asarray(offts)),
+        valid=np.arange(K) < n,
+        end_minus_last=end_time - ts[-1],
+    )
+    cond_t = np.concatenate([[last_pcl_end_time], imu.t])
+    cond_g = np.concatenate([[last_imu[1]], imu.gyr])
+    cond_a = np.concatenate([[last_imu[2]], imu.acc])
+    cond_t[-1] = end_time
+    cond = ImuBlock(cond_t, cond_g, cond_a)
+    return arrays, cond, n
+
+
+def midpoint_arrays(imu: ImuBlock):
+    """Preintegration midpoint arrays (push_imu preamble,
+    imu_preintegration.cpp:36-54), padded to IMU_BUCKET."""
+    K = IMU_BUCKET
+    t, g, a = imu.t, imu.gyr, imu.acc
+    n = len(t) - 1
+    if n > K:
+        raise RuntimeError(f"IMU bucket overflow: {n} > {K}")
+    gm = np.zeros((K, 3))
+    am = np.zeros((K, 3))
+    dt = np.zeros(K)
+    gm[:n] = 0.5 * (g[:-1] + g[1:])
+    am[:n] = 0.5 * (a[:-1] + a[1:])
+    dt[:n] = t[1:] - t[:-1]
+    return gm, am, dt, np.arange(K) < n
+
+
 @dataclass
 class ImuEkf:
     """Host wrapper holding the (tiny) mutable stream state; all math is in

@@ -207,6 +207,37 @@ def rollback_bias_state(f: PreintFactor) -> PreintFactor:
     return f._replace(dbg=f.dbg_buf, dba=f.dba_buf)
 
 
+def merge(f1: PreintFactor, f2: PreintFactor) -> PreintFactor:
+    """Factor composition f1 (+) f2 (IMU_PRE::merge, cpp:248-274): chains two
+    preintegrated segments into one, composing deltas, bias Jacobians and
+    covariance. (Defined but uncalled in the reference pipeline; provided for
+    parity and for keyframe-rate factor thinning.)"""
+    p_bg = f1.p_bg + f1.v_bg * f2.dtime + f1.R_delta @ (
+        f2.p_bg - so3.hat(f2.p_delta) @ f1.R_bg)
+    p_ba = f1.p_ba + f1.v_ba * f2.dtime + f1.R_delta @ f2.p_ba
+    v_bg = f1.v_bg + f1.R_delta @ (f2.v_bg - so3.hat(f2.v_delta) @ f1.R_bg)
+    v_ba = f1.v_ba + f1.R_delta @ f2.v_ba
+    R_bg = f2.R_delta.T @ f1.R_bg + f2.R_bg
+
+    Ai = jnp.eye(DIM, dtype=jnp.float64)
+    Ai = Ai.at[0:3, 0:3].set(f2.R_delta.T)
+    Ai = Ai.at[3:6, 0:3].set(-f1.R_delta @ so3.hat(f2.p_delta))
+    Ai = Ai.at[3:6, 6:9].set(jnp.eye(3) * f2.dtime)
+    Ai = Ai.at[6:9, 0:3].set(-f1.R_delta @ so3.hat(f2.v_delta))
+    Bi = jnp.eye(DIM, dtype=jnp.float64)
+    Bi = Bi.at[3:6, 3:6].set(f1.R_delta)
+    Bi = Bi.at[6:9, 6:9].set(f1.R_delta)
+    cov = Ai @ f1.cov @ Ai.T + Bi @ f2.cov @ Bi.T
+
+    return f1._replace(
+        R_delta=f1.R_delta @ f2.R_delta,
+        p_delta=f1.p_delta + f1.v_delta * f2.dtime + f1.R_delta @ f2.p_delta,
+        v_delta=f1.v_delta + f1.R_delta @ f2.v_delta,
+        R_bg=R_bg, p_bg=p_bg, p_ba=p_ba, v_bg=v_bg, v_ba=v_ba,
+        dtime=f1.dtime + f2.dtime, cov=cov,
+    )
+
+
 def naive_integrate(imu_t, gyr, acc, bg, ba, scale_gravity=1.0):
     """NumPy oracle: direct midpoint integration of DeltaR/Dv/Dp for tests."""
     R = np.eye(3)

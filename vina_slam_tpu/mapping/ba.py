@@ -235,6 +235,17 @@ def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
                     residual0=res0, residual1=res_last, iters=i)
 
 
+@partial(jax.jit, static_argnames=("W",))
+def energy_breakdown(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef, W: int):
+    """print_breakdown analog (optimizers.cpp:596-625): per-factor-type
+    energies (E_imu, E_lidar, E_normal, total) for debugging/telemetry."""
+    r_imu, _, _ = _imu_assemble(pre_f, w, W, False, False)
+    e_imu = 0.5 * imu_coef * r_imu
+    e_lidar = fx.lidar_residual(lidar_f, w.R, w.p)
+    e_normal = fx.normal_residual(lidar_f, w.R, w.p)
+    return e_imu, e_lidar, e_normal, e_imu + e_lidar + e_normal
+
+
 @partial(jax.jit, static_argnames=("W", "max_iter"))
 def damping_iter_lidar_only(w: WindowPoses, lidar_f: fx.BAFactors,
                             W: int, max_iter: int = 10) -> LMResult:

@@ -354,14 +354,11 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     flat_w = win_pts_w.reshape(-1, 3)
     flat_v = win_valid.reshape(-1)
 
-    slots = jnp.full(flat_w.shape[0], -1, jnp.int32)
-    levels_pt = jnp.zeros(flat_w.shape[0], jnp.int32)
-
     # materialize fixed clusters once per recut (redistribution of fixed mass
     # into children created THIS call lands at the next recut/margi)
     m, fix, _, _ = _pool_fix(m, pool, params, ms, with_bf=False, jour=jour)
 
-    for wave in range(ms.levels):
+    def wave_fn(m):
         m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
         lv_pt, centers, _ = slot_meta(m, slots, params)
         rel = flat_w - centers
@@ -388,7 +385,18 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         )
         want_split = upd & ~judged & (lv_slot < ms.levels - 1)
         m = m._replace(state=jnp.where(want_split, 1, m.state))
-        levels_pt = lv_pt
+        return m, slots, lv_pt, jnp.any(want_split & (m.state == 1))
+
+    m, slots, levels_pt, had_split = wave_fn(m)
+    # later waves only execute when the previous one actually split a node
+    # (steady state rarely splits; lax.cond skips the work at runtime)
+    for wave in range(1, ms.levels):
+        m, slots, levels_pt, had_split = jax.lax.cond(
+            had_split,
+            wave_fn,
+            lambda mm: (mm, slots, levels_pt, jnp.asarray(False)),
+            m,
+        )
 
     return m, slots.reshape(W, Np), levels_pt.reshape(W, Np)
 

@@ -1,0 +1,247 @@
+"""Fused steady-state step: the whole per-scan pipeline as ONE XLA program.
+
+The modular runner (runner.py) issues ~14 device calls and ~30 blocking
+host<->device syncs per scan — fine on-die, ruinous through a high-latency
+device tunnel. Here the entire steady-state update (deskew -> downsample ->
+var_init -> scan planes -> VNC IEKF -> window push -> recut -> factor
+extraction -> windowed BA -> marginalization -> window shift -> journey/
+eviction bookkeeping) is a single jitted function over a device-resident
+SteadyState pytree; per-scan poses land in an on-device trajectory ring
+buffer fetched every `fetch_every` frames. The host only pads the scan and
+preconditions the (tiny) IMU arrays — no per-frame sync points, so JAX's
+async dispatch pipelines scans back-to-back (the BASELINE.json
+"double-buffered scan-pipelined" design).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vina_slam_tpu.core import pointcov, so3
+from vina_slam_tpu.core.constants import DIM, IMU_BUCKET
+from vina_slam_tpu.core.state import NavState
+from vina_slam_tpu.estimation import ekf as ekf_mod
+from vina_slam_tpu.estimation import preintegration as pre
+from vina_slam_tpu.mapping import ba, factors as fx, voxel_map as vm
+from vina_slam_tpu.ops import downsample as ds_ops
+from vina_slam_tpu.pipeline import odometry as odom
+
+TRAJ_CAP = 4096          # trajectory ring capacity (fetched incrementally)
+TRAJ_COLS = 14           # t, p(3), R(9), degenerate flag
+
+
+class SteadyState(NamedTuple):
+    m: vm.VoxelMap
+    pool: vm.FixPool
+    x: NavState                    # current state (f64)
+    xs: NavState                   # window states, batched (W,)
+    pre_f: pre.PreintFactor        # (W-1,) batched window edges
+    win_pts: jnp.ndarray           # (W, Np, 3) f32 body
+    win_var: jnp.ndarray           # (W, Np, 3, 3) f32 world var @ insertion
+    win_valid: jnp.ndarray         # (W, Np)
+    win_count: jnp.ndarray         # () i32
+    scan_idx: jnp.ndarray          # () i32 global scan counter
+    degrade_cnt: jnp.ndarray       # () i32
+    jour: jnp.ndarray              # () f32
+    last_pos: jnp.ndarray          # (3,) f64
+    traj: jnp.ndarray              # (TRAJ_CAP, TRAJ_COLS) f64 ring
+    traj_head: jnp.ndarray         # () i32
+
+
+def make_steady_state(m, pool, x, xs, pre_f, win_pts, win_var, win_valid,
+                      win_count, jour, last_pos, scan_idx=0) -> SteadyState:
+    return SteadyState(
+        m=m, pool=pool, x=x, xs=xs, pre_f=pre_f,
+        win_pts=win_pts, win_var=win_var, win_valid=win_valid,
+        win_count=jnp.asarray(win_count, jnp.int32),
+        scan_idx=jnp.asarray(scan_idx, jnp.int32),
+        degrade_cnt=jnp.asarray(0, jnp.int32),
+        jour=jnp.asarray(jour, jnp.float32),
+        last_pos=jnp.asarray(last_pos, jnp.float64),
+        traj=jnp.zeros((TRAJ_CAP, TRAJ_COLS), jnp.float64),
+        traj_head=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _set_frame(arr, i, val):
+    return jax.lax.dynamic_update_index_in_dim(arr, val, i, 0)
+
+
+def _push_state(xs: NavState, i, x: NavState) -> NavState:
+    return NavState(*(
+        jax.lax.dynamic_update_index_in_dim(f, v.astype(f.dtype), i, 0)
+        for f, v in zip(xs, x)))
+
+
+@partial(jax.jit, static_argnames=("ms", "W", "Vmax", "cfgs"))
+def steady_step(
+    st: SteadyState,
+    # scan (padded to a bucket)
+    pts, rel_time, pts_valid,
+    # EKF interval arrays (IMU_BUCKET,)
+    avr_gyr, avr_acc, dt_i, offt_i, valid_i, end_minus_last, scan_end_t,
+    # preintegration midpoint arrays for this frame's edge (IMU_BUCKET,)
+    pm_gyr, pm_acc, pm_dt, pm_valid,
+    # runtime params
+    params: vm.MapParams, noise_meas, noise_walk, cov_gyr, cov_acc,
+    cov_bg, cov_ba, ext_R, ext_p, scale_gravity, imu_coef,
+    # statics
+    ms: vm.MapStatic, W: int, Vmax: int,
+    cfgs,  # hashable tuple: (down_size, dept_err, beam_err, if_ba, npad_map,
+           #                  plane_thre0..3 as floats, min_eigen, max_iter_ba)
+):
+    (down_size, dept_err, beam_err, if_ba, npad_map, pt0, pt1, pt2, pt3,
+     min_eig_f, ba_iters) = cfgs
+    x = st.x
+
+    # ---------------- EKF propagation + deskew ----------------
+    R_end, p_end, v_end, cov, pose_table = ekf_mod._propagate(
+        x.R, x.p, x.v, x.cov, x.bg, x.ba, x.g,
+        avr_gyr, avr_acc, dt_i, offt_i, valid_i,
+        cov_gyr, cov_acc, cov_bg, cov_ba, scale_gravity, end_minus_last)
+    x = x._replace(R=R_end, p=p_end, v=v_end, cov=cov, t=scan_end_t)
+    n_valid_i = jnp.sum(valid_i)
+    deskewed = ekf_mod._deskew(
+        pts, rel_time, pts_valid, pose_table, offt_i, n_valid_i,
+        R_end, p_end, ext_R, ext_p)
+
+    # ---------------- downsample (with half-size retry) ----------------
+    dpts, dvalid, n_ds = ds_ops.downsample_mean(
+        deskewed, pts_valid, jnp.asarray(down_size, jnp.float32), npad_map)
+    dpts2, dvalid2, _ = ds_ops.downsample_mean(
+        deskewed, pts_valid, jnp.asarray(down_size / 2, jnp.float32), npad_map)
+    few = n_ds < 2000
+    dpts = jnp.where(few, dpts2, dpts)
+    dvalid = jnp.where(few, dvalid2, dvalid)
+
+    ext_R32 = ext_R.astype(jnp.float32)
+    ext_p32 = ext_p.astype(jnp.float32)
+    map_body, map_var = pointcov.var_init(ext_R32, ext_p32, dpts, dept_err, beam_err)
+    odo_body, odo_var = pointcov.var_init(ext_R32, ext_p32, deskewed, dept_err, beam_err)
+
+    # ---------------- VNC scan planes + IEKF ----------------
+    planes = odom.extract_scan_planes(
+        odo_body, pts_valid, params.voxel_size, params.min_eigen_value,
+        (pt0, pt1, pt2, pt3), levels=ms.levels)
+    res = odom.iekf_update(x, st.m, odo_body, odo_var, pts_valid, planes,
+                           params, ms, max_iter=4, use_vnc=True)
+    x = res.x
+    degrade_cnt = jnp.where(res.ok, jnp.maximum(st.degrade_cnt - 1, 0),
+                            st.degrade_cnt + 1)
+
+    # ---------------- window push ----------------
+    _, w_var = pointcov.world_var(map_body, map_var, x.R, x.p, x.cov)
+    i = st.win_count
+    win_pts = _set_frame(st.win_pts, i, map_body)
+    win_var = _set_frame(st.win_var, i, w_var)
+    win_valid = _set_frame(st.win_valid, i, dvalid)
+    xs = _push_state(st.xs, i, x)
+
+    # preintegration edge i-1 -> i with the PREVIOUS state's biases
+    prev = jax.tree_util.tree_map(lambda f: f[jnp.maximum(i - 1, 0)], xs)
+    new_edge = pre.build_factor(pm_gyr, pm_acc, pm_dt, pm_valid,
+                                prev.bg, prev.ba, noise_meas, noise_walk,
+                                scale_gravity)
+    pre_f = jax.tree_util.tree_map(
+        lambda buf, e: jnp.where(i >= 1,
+                                 jax.lax.dynamic_update_index_in_dim(
+                                     buf, e.astype(buf.dtype),
+                                     jnp.maximum(i - 1, 0), 0),
+                                 buf),
+        st.pre_f, new_edge)
+
+    win_count = i + 1
+
+    # ---------------- map recut + factor extraction ----------------
+    R32 = xs.R.astype(jnp.float32)
+    p32 = xs.p.astype(jnp.float32)
+    win_w = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
+    win_w = jnp.where(win_valid[..., None], win_w, 1e7)
+    m, slots, _ = vm.recut(st.m, st.pool, win_w, win_valid, params, ms, W, st.jour)
+    factors = fx.extract_factors(m, slots, win_pts, win_valid, params, ms, Vmax, W)
+
+    # ---------------- window-full branch: BA + margi + shift ----------------
+    full = win_count >= W
+
+    def full_branch(op):
+        m, pool, xs, pre_f, win_pts, win_var, win_valid, x, jour = op
+        w0 = ba.WindowPoses(R=xs.R, p=xs.p, v=xs.v, bg=xs.bg, ba=xs.ba,
+                            g=xs.g[W - 1])
+        if if_ba:
+            lm = ba.damping_iter(w0, factors, pre_f, imu_coef, W,
+                                 max_iter=ba_iters)
+            w1, pre_f = lm.poses, lm.pre_f
+        else:
+            w1 = w0
+        xs = xs._replace(R=w1.R, p=w1.p, v=w1.v, bg=w1.bg, ba=w1.ba)
+        x = x._replace(R=w1.R[W - 1], p=w1.p[W - 1], v=w1.v[W - 1],
+                       bg=w1.bg[W - 1], ba=w1.ba[W - 1])
+
+        R32 = xs.R.astype(jnp.float32)
+        p32 = xs.p.astype(jnp.float32)
+        ww = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
+        ww = jnp.where(win_valid[..., None], ww, 1e7)
+        m, pool = vm.margi(m, pool, ww, win_var, win_valid, params, ms, jour,
+                           mgsize=1)
+
+        # shift the window (local_mapping.cpp:521-546)
+        win_pts = jnp.roll(win_pts, -1, axis=0)
+        win_var = jnp.roll(win_var, -1, axis=0)
+        win_valid = jnp.roll(win_valid, -1, axis=0).at[W - 1].set(False)
+        xs = NavState(*(jnp.roll(f, -1, axis=0) for f in xs))
+        pre_f = jax.tree_util.tree_map(lambda f: jnp.roll(f, -1, axis=0), pre_f)
+        return m, pool, xs, pre_f, win_pts, win_var, win_valid, x, jour
+
+    def not_full(op):
+        return op
+
+    op = (m, st.pool, xs, pre_f, win_pts, win_var, win_valid, x, st.jour)
+    m, pool, xs, pre_f, win_pts, win_var, win_valid, x, jour = jax.lax.cond(
+        full, full_branch, not_full, op)
+    win_count = jnp.where(full, win_count - 1, win_count)
+
+    # ---------------- journey / eviction bookkeeping ----------------
+    scan_idx = st.scan_idx + 1
+    tick = (scan_idx % 10) == 0
+    spat = jnp.linalg.norm(x.p - st.last_pos)
+    move = tick & (spat > 0.5)
+    jour = jnp.where(move, jour + spat.astype(jnp.float32), jour)
+    last_pos = jnp.where(move, x.p, st.last_pos)
+
+    def do_evict(opme):
+        mm, pp = opme
+        return vm.evict(mm, pp, jour, params, ms)
+
+    m, pool = jax.lax.cond(move & (jour > 700.0), do_evict, lambda o: o, (m, pool))
+
+    # ---------------- trajectory ring ----------------
+    row = jnp.concatenate([
+        x.t[None], x.p, x.R.reshape(9),
+        (~res.ok).astype(jnp.float64)[None],
+    ])
+    traj = st.traj.at[st.traj_head % TRAJ_CAP].set(row)
+    # refresh the BA-refined window tail (path rewrite, publishers.cpp:99-131):
+    # when the window was full, rows head-W+1..head correspond to the
+    # PRE-shift window states; jnp.roll is circular so un-rolling recovers them
+    xs_pre = NavState(*(jnp.roll(f, 1, axis=0) for f in xs))
+    tail_idx = (st.traj_head - jnp.arange(W - 1, -1, -1)) % TRAJ_CAP
+    tail_rows = jnp.concatenate([
+        xs_pre.t[:, None], xs_pre.p, xs_pre.R.reshape(W, 9),
+        jnp.zeros((W, 1)),
+    ], axis=1)
+    traj = traj.at[tail_idx].set(jnp.where(full, tail_rows, traj[tail_idx]))
+    traj_head = st.traj_head + 1
+
+    st2 = SteadyState(
+        m=m, pool=pool, x=x, xs=xs, pre_f=pre_f,
+        win_pts=win_pts, win_var=win_var, win_valid=win_valid,
+        win_count=win_count.astype(jnp.int32), scan_idx=scan_idx,
+        degrade_cnt=degrade_cnt, jour=jour, last_pos=last_pos,
+        traj=traj, traj_head=traj_head,
+    )
+    return st2

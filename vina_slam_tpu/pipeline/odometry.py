@@ -249,8 +249,11 @@ def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
         fit_ok = jnp.all(
             jnp.abs(jnp.einsum("nki,ni->nk", A, direct) + 1.0) <= 0.1, axis=-1)
         fit_ok = fit_ok & jnp.all(jnp.isfinite(direct), axis=-1)
+        # zero rejected fits entirely: a 0-weight times NaN still poisons
+        # the einsum reductions downstream
+        direct = jnp.where(fit_ok[:, None], direct, 0.0)
         dnorm = jnp.linalg.norm(direct, axis=-1)
-        d = 1.0 / jnp.maximum(dnorm, 1e-12)
+        d = jnp.where(fit_ok, 1.0 / jnp.maximum(dnorm, 1e-12), 0.0)
         normal = direct * d[:, None]
         return fit_ok & valid, normal, d
 

@@ -84,10 +84,32 @@ class RunnerStats:
 class SlamRunner:
     """End-to-end LiDAR-inertial SLAM on one device."""
 
-    def __init__(self, cfg: SlamConfig, npad_map: int = 16384, verbose: bool = False):
+    def __init__(self, cfg: SlamConfig, npad_map: int = 16384, verbose: bool = False,
+                 enable_degrade_reset: bool = False, use_fused: bool = True,
+                 fetch_every: int = 32):
         self.cfg = cfg
         self.npad_map = npad_map
         self.verbose = verbose
+        # fused single-dispatch steady state (pipeline/fused.py); the modular
+        # path remains for debugging and the initialization phase
+        self.use_fused = use_fused
+        self.fetch_every = fetch_every
+        self._fused = None
+        self._pending_rows = 0
+        self._traj_base = 0
+        # the reference's auto-reset branch is compiled out (if (0),
+        # local_mapping.cpp:474-487); keep it available behind a flag
+        self.enable_degrade_reset = enable_degrade_reset
+
+        from vina_slam_tpu.mapping.keyframe import GlobalMapAccumulator
+        from vina_slam_tpu.utils.profiling import StageTimer
+        self.timer = StageTimer()
+        save_dir = ""
+        if cfg.general.is_save_map:
+            save_dir = (cfg.general.save_path or ".") + "/" + cfg.general.bagname
+        self.map_accum = GlobalMapAccumulator(
+            save_dir=save_dir,
+            full_map_voxel_size=cfg.general.full_map_voxel_size)
         o, lb, tp = cfg.odometry, cfg.local_ba, cfg.tpu
         self.W = lb.win_size
         self.ms = vm.MapStatic(
@@ -128,6 +150,8 @@ class SlamRunner:
         self.win_var = jnp.zeros((self.W, Np, 3, 3), jnp.float32)
         self.win_valid = jnp.zeros((self.W, Np), bool)
         self.motion_init_flag = True
+        self._fused = None
+        self._pending_rows = 0
         self.jour = 0.0
         self.last_pos = np.zeros(3)
         self.release_flag = False
@@ -156,6 +180,9 @@ class SlamRunner:
     def process_frame(self, frame: Frame):
         """One scan through the pipeline. Returns a dict of outputs or None
         while initializing."""
+        if self._fused is not None:
+            return self._steady_fused(frame)
+
         scan = frame.scan
         status, self.x_curr, deskewed, cond_imu = self.ekf.process(
             self.x_curr, scan.pts, scan.rel_time, frame.beg_time,
@@ -164,8 +191,104 @@ class SlamRunner:
             return None
 
         if self.motion_init_flag:
-            return self._initialization(frame, deskewed, cond_imu)
+            out = self._initialization(frame, deskewed, cond_imu)
+            if not self.motion_init_flag and self.use_fused:
+                self._enter_fused()
+            return out
         return self._steady_step(frame, deskewed, cond_imu)
+
+    # -------------------------------------------------------- fused driver
+    def _enter_fused(self):
+        """Package the modular state into the device-resident SteadyState
+        and switch to the single-dispatch fused step."""
+        from vina_slam_tpu.pipeline import fused
+        import vina_slam_tpu.core.state as stmod
+
+        W = self.W
+        pad = W - len(self.x_buf)
+        xs_list = self.x_buf + [self.x_buf[-1]] * pad
+        xs = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *xs_list)
+        if self.pre_buf:
+            pre_list = self.pre_buf + [self.pre_buf[-1]] * (W - 1 - len(self.pre_buf))
+            pre_st = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pre_list)
+        else:
+            from vina_slam_tpu.estimation.preintegration import _zero
+            pre_st = jax.tree_util.tree_map(
+                lambda a: jnp.stack([a] * (W - 1)), _zero())
+        self._fused = fused.make_steady_state(
+            self.map, self.pool, self.x_curr, xs, pre_st,
+            self.win_pts, self.win_var, self.win_valid,
+            self.win_count, self.jour, np.asarray(self.x_curr.p),
+            scan_idx=self.win_base + self.win_count)
+        self._traj_base = len(self.traj)
+        self._fetched = 0
+        o, lb = self.cfg.odometry, self.cfg.local_ba
+        self._cfgs = (float(o.down_size), float(o.dept_err), float(o.beam_err),
+                      bool(self.cfg.general.if_BA), int(self.npad_map),
+                      *[float(v) for v in np.asarray(self.params.plane_thre)],
+                      float(o.min_eigen_value), 10)
+
+    def _steady_fused(self, frame: Frame):
+        from vina_slam_tpu.estimation.ekf import build_intervals, midpoint_arrays
+        from vina_slam_tpu.pipeline import fused
+
+        ekf = self.ekf
+        if ekf.last_pcl_end_time - frame.beg_time > 0.01:
+            from vina_slam_tpu.estimation.ekf import LidarTimeRegression
+            raise LidarTimeRegression(
+                f"beg={frame.beg_time} last_end={ekf.last_pcl_end_time}")
+        arrays, cond, n = build_intervals(
+            ekf.last_imu, ekf.last_pcl_end_time, frame.beg_time,
+            frame.end_time, frame.imu)
+        ekf.last_imu = (frame.end_time, frame.imu.gyr[-1].copy(),
+                        frame.imu.acc[-1].copy())
+        ekf.last_pcl_end_time = frame.end_time
+        if n == 0:
+            return None
+        gm, am, dtm, vm_ = midpoint_arrays(cond)
+
+        full_pts, full_rel, full_valid = pad_points(frame.scan.pts,
+                                                    frame.scan.rel_time)
+        self._fused = fused.steady_step(
+            self._fused, full_pts, full_rel, full_valid,
+            jnp.asarray(arrays["avr_gyr"]), jnp.asarray(arrays["avr_acc"]),
+            jnp.asarray(arrays["dt"]), jnp.asarray(arrays["offt"]),
+            jnp.asarray(arrays["valid"]), jnp.asarray(arrays["end_minus_last"]),
+            jnp.asarray(float(frame.end_time)),
+            jnp.asarray(gm), jnp.asarray(am), jnp.asarray(dtm), jnp.asarray(vm_),
+            self.params, jnp.asarray(self.noise_meas), jnp.asarray(self.noise_walk),
+            jnp.asarray(np.asarray(self.ekf.cov_gyr)),
+            jnp.asarray(np.asarray(self.ekf.cov_acc)),
+            jnp.asarray(np.asarray(self.ekf.cov_bias_gyr)),
+            jnp.asarray(np.asarray(self.ekf.cov_bias_acc)),
+            jnp.asarray(self.cfg.ext_R), jnp.asarray(self.cfg.ext_p),
+            jnp.asarray(float(self.imupre_scale_gravity)),
+            jnp.asarray(float(self.cfg.local_ba.imu_coef)),
+            self.ms, self.W, self.cfg.tpu.max_voxels_ba, self._cfgs,
+        )
+        self.stats.frames += 1
+        self._pending_rows += 1
+        if self._pending_rows >= self.fetch_every:
+            self.drain_traj()
+        return {"queued": True, "t": float(frame.end_time)}
+
+    def drain_traj(self):
+        """Fetch the device trajectory ring into the host path store
+        (re-reading the whole window tail picks up BA refinements)."""
+        if self._fused is None or self._pending_rows == 0:
+            return
+        from vina_slam_tpu.pipeline import fused as fmod
+        head = int(self._fused.traj_head)
+        ring = np.asarray(self._fused.traj)
+        n_rows = min(head, fmod.TRAJ_CAP)
+        # rebuild the host tail from the ring (covers refreshed BA poses)
+        start = max(head - n_rows, 0)
+        rows = [ring[k % fmod.TRAJ_CAP] for k in range(start, head)]
+        out = [[r[0], r[4:13].reshape(3, 3).copy(), r[1:4].copy()] for r in rows]
+        self.traj = self.traj[: self._traj_base + start] + out
+        self._pending_rows = 0
+        self.x_curr = self._fused.x
+        self.stats.degrade_cnt = int(self._fused.degrade_cnt)
 
     # ------------------------------------------------------------- steady
     def _steady_step(self, frame: Frame, deskewed, cond_imu):
@@ -201,6 +324,14 @@ class SlamRunner:
             self.stats.degrade_cnt = max(0, self.stats.degrade_cnt - 1)
         else:
             self.stats.degrade_cnt += 1
+        if (self.enable_degrade_reset
+                and self.stats.degrade_cnt > self.cfg.odometry.degrade_bound):
+            # geometric-degeneracy recovery (local_mapping.cpp:474-487)
+            self.stats.degrade_cnt = 0
+            self.system_reset(frame.imu)
+            return {"reset": True, "t": float(frame.end_time),
+                    "pose_R": np.eye(3), "pose_p": np.asarray(self.x_curr.p),
+                    "degenerate": True, "match_num": 0}
 
         # world-frame vars at insertion (pvec_update, point_utils.cpp:54-65)
         _, w_var = _world_var_jit(map_body, map_var, self.x_curr.R,
@@ -272,6 +403,12 @@ class SlamRunner:
             self.map, self.pool = vm.margi(
                 self.map, self.pool, win_w, self.win_var, self.win_valid,
                 self.params, self.ms, jnp.asarray(self.jour, jnp.float32), mgsize=1)
+
+            # marginalized cloud -> keyframes / global map (pub_localmap)
+            if self.cfg.general.is_save_map:
+                w0 = np.asarray(win_w[0])[np.asarray(self.win_valid[0])]
+                self.map_accum.push_marginalized(
+                    w0, np.asarray(self.x_buf[0].R), np.asarray(self.x_buf[0].p))
 
             # path rewrite for the refined window (publishers.cpp:99-131)
             for k, x in enumerate(self.x_buf):
@@ -532,8 +669,16 @@ class SlamRunner:
         return self._map_update_and_ba(cond_imu)
 
     # --------------------------------------------------------------- output
+    def sync(self):
+        """Block until all queued device work completes (timing fences)."""
+        if self._fused is not None:
+            jax.block_until_ready(self._fused.traj_head)
+        else:
+            jax.block_until_ready(self.x_curr.p)
+
     def trajectory(self) -> np.ndarray:
         """(N, 8) TUM-style array from the (BA-refined) path store."""
+        self.drain_traj()
         rows = []
         from vina_slam_tpu.platform.io import rot_to_quat
         for t, R, p in self.traj:
