@@ -45,6 +45,7 @@ def main():
     cfg.local_ba.imu_coef = 2e-4
     cfg.general.if_BA = 1
     cfg.tpu.map_capacity = 1 << 16
+    cfg.tpu.fix_pool_capacity = 1 << 16
     cfg.tpu.max_voxels_ba = 2048
 
     runner = SlamRunner(cfg, npad_map=8192)

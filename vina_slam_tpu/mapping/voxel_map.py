@@ -191,41 +191,30 @@ def descend(m: VoxelMap, wld, params: MapParams, ms: MapStatic):
 
 
 def _init_new_slots(m: VoxelMap, slots, mask, jour):
-    """Zero all per-voxel statistics of freshly claimed slots."""
+    """Stamp freshly claimed slots with the current journey.
+
+    All other per-voxel fields are ALREADY zero: slots are only ever freed by
+    evict(), whose rebuild zero-fills non-surviving rows — so a fresh claim
+    needs no field clearing (scattering ~150 floats per candidate across the
+    many _create_level calls per step was a dominant HBM cost)."""
     s = jnp.where(mask, slots, m.keys.shape[0])  # drop-mode scatter target
-
-    def z(arr, fill=0):
-        return arr.at[s].set(fill, mode="drop")
-
-    return m._replace(
-        state=z(m.state),
-        sealed=z(m.sealed, False),
-        fix_P=z(m.fix_P),
-        fix_v=z(m.fix_v),
-        fix_N=z(m.fix_N),
-        cov_fix=z(m.cov_fix),
-        plane_center=z(m.plane_center),
-        plane_normal=z(m.plane_normal),
-        plane_var=z(m.plane_var),
-        plane_radius=z(m.plane_radius),
-        is_plane=z(m.is_plane, False),
-        eig_val=z(m.eig_val),
-        eig_vec=z(m.eig_vec),
-        last_num=z(m.last_num),
-        jour=z(m.jour, jour),
-    )
+    return m._replace(jour=m.jour.at[s].set(jour, mode="drop"))
 
 
 def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
-    """Create (at most max_new unique) missing entries for `keys` where
-    need_mask; returns the updated map."""
-    uniq, uvalid = vh.unique_keys(keys, need_mask, ms.max_new)
-    new_keys, uslots, placed = vh.insert_keys(m.keys, uniq, uvalid, ms.probe)
+    """Create missing entries for `keys` where need_mask; returns the
+    updated map.
+
+    No dedup sort: insert_keys' claim-and-verify converges with duplicate
+    keys (duplicates see their key present and finish), and sorting 10^5
+    int64 codes is the single most expensive op on TPU (emulated 64-bit
+    bitonic sort). Duplicate winners re-init the same slot harmlessly."""
+    new_keys, slots, placed = vh.insert_keys(m.keys, keys, need_mask, ms.probe, rounds=ms.probe)
     m = m._replace(
         keys=new_keys,
-        n_dropped=m.n_dropped + jnp.sum(uvalid & ~placed).astype(jnp.int32),
+        n_dropped=m.n_dropped + jnp.sum(need_mask & ~placed).astype(jnp.int32),
     )
-    m = _init_new_slots(m, uslots, placed, jour)
+    m = _init_new_slots(m, slots, placed, jour)
     return m
 
 
@@ -615,7 +604,7 @@ def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic
     keep = (m.keys != vh.EMPTY_KEY) & (cur_jour - m.jour < dist)
     old_keys = jnp.where(keep, m.keys, vh.EMPTY_KEY)
     fresh = jnp.full_like(m.keys, vh.EMPTY_KEY)
-    new_keys, slots, placed = vh.insert_keys(fresh, old_keys, keep, ms.probe)
+    new_keys, slots, placed = vh.insert_keys(fresh, old_keys, keep, ms.probe, rounds=ms.probe)
 
     dst = jnp.where(placed, slots, ms.capacity)
 
