@@ -71,12 +71,13 @@ def main():
     out = timeit("recut", lambda: vm.recut(
         runner.map, runner.pool, win_w, runner.win_valid, runner.params,
         runner.ms, W, jnp.asarray(runner.jour, jnp.float32)))
-    _, slots, _ = out
+    _, _, slots, _ = out
 
     factors = timeit("extract_factors", lambda: fx.extract_factors(
         runner.map, slots, runner.win_pts, runner.win_valid, runner.params,
         runner.ms, cfg.tpu.max_voxels_ba, W))
 
+    print("pre_buf:", len(runner.pre_buf), flush=True)
     if len(runner.pre_buf) == W - 1:
         pre_st = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *runner.pre_buf)
         w0 = ba.WindowPoses(R=Rs.astype(jnp.float64), p=ps.astype(jnp.float64),
@@ -90,7 +91,7 @@ def main():
             factors, w0.R, w0.p, W))
 
     timeit("margi", lambda: vm.margi(
-        runner.map, runner.pool, win_w, runner.win_var, runner.win_valid,
+        runner.map, runner.pool, slots, win_w, runner.win_var, runner.win_valid,
         runner.params, runner.ms, jnp.asarray(runner.jour, jnp.float32), mgsize=1))
 
     timeit("evict", lambda: vm.evict(

@@ -127,7 +127,7 @@ class TestRecut:
         pts = self._plane_cloud(4000, [0, 0, 1], 0.5)
         win = jnp.asarray(pts, jnp.float32)[None]  # (1, N, 3)
         valid = jnp.ones((1, pts.shape[0]), bool)
-        m, slots, lvs = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
+        m, pool, slots, lvs = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
         sl = np.asarray(slots).ravel()
         s, counts = np.unique(sl[sl >= 0], return_counts=True)
         assert len(s) > 0
@@ -153,7 +153,7 @@ class TestRecut:
         pts = pts[keep]
         win = jnp.asarray(pts, jnp.float32)[None]
         valid = jnp.ones((1, pts.shape[0]), bool)
-        m, slots, lvs = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
+        m, pool, slots, lvs = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
         # root must be split
         root_key = vh.encode(0, jnp.asarray([[0, 0, 0]], jnp.int32))
         root_slot = int(vh.find_slots(m.keys, root_key)[0])
@@ -174,7 +174,7 @@ class TestRecut:
         pts = self._plane_cloud(10, [0, 0, 1], 0.2, extent=0.4)
         win = jnp.asarray(pts, jnp.float32)[None]
         valid = jnp.ones((1, pts.shape[0]), bool)
-        m, slots, _ = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
+        m, pool, slots, _ = vm.recut(m, pool, win, valid, par, MS, 1, jnp.asarray(0.0, jnp.float32))
         s = np.unique(np.asarray(slots)); s = s[s >= 0]
         assert not np.asarray(m.is_plane)[s].any()
 
@@ -188,10 +188,11 @@ class TestMatch:
         W = 1
         win_w = jnp.asarray(pts, jnp.float32)[None]
         valid = jnp.ones((W, pts.shape[0]), bool)
-        m, slots, _ = vm.recut(m, pool, win_w, valid, par, MS, W, jnp.asarray(0.0, jnp.float32))
+        m, pool, slots, _ = vm.recut(m, pool, win_w, valid, par, MS, W, jnp.asarray(0.0, jnp.float32))
         # plane params come from margi's plane_update
         var = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 1e-4, (pts.shape[0], 1, 1))[None]
-        m, pool = vm.margi(m, pool, win_w, var, valid, par, MS, jnp.asarray(0.0, jnp.float32), mgsize=0)
+        m = vm.accumulate_cov(m, slots, win_w, var, valid, par, MS)
+        m, pool = vm.margi(m, pool, slots, win_w, var, valid, par, MS, jnp.asarray(0.0, jnp.float32), mgsize=0)
         return m, pool, par
 
     def test_match_on_plane(self):
@@ -232,22 +233,24 @@ class TestMargi:
         win = jnp.asarray(pts, jnp.float32)[None]
         valid = jnp.ones((1, pts.shape[0]), bool)
         var = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 1e-4, (pts.shape[0], 1, 1))[None]
-        m, slots, _ = vm.recut(m, pool, win, valid, par, MS2, 1, jnp.asarray(0.0, jnp.float32))
-        m, pool = vm.margi(m, pool, win, var, valid, par, MS2, jnp.asarray(0.0, jnp.float32), mgsize=1)
+        m, pool, slots, _ = vm.recut(m, pool, win, valid, par, MS2, 1, jnp.asarray(0.0, jnp.float32))
+        m = vm.accumulate_cov(m, slots, win, var, valid, par, MS2)
+        m, pool = vm.margi(m, pool, slots, win, var, valid, par, MS2, jnp.asarray(0.0, jnp.float32), mgsize=1)
         s = int(np.asarray(slots)[0, 0])
         assert float(m.fix_N[s]) == pytest.approx(pts.shape[0])
         assert int(jnp.sum(pool.valid)) == pts.shape[0]
         # second margi of another 40 points seals the voxel (>= 50)
         pts2 = TestRecut._plane_cloud(TestRecut(), 40, [0, 0, 1], 0.5, extent=0.8, offset=(1, 1, 0))
         win2 = jnp.asarray(pts2, jnp.float32)[None]
-        m, slots2, _ = vm.recut(m, pool, win2, valid, par, MS2, 1, jnp.asarray(0.0, jnp.float32))
-        m, pool = vm.margi(m, pool, win2, var, valid, par, MS2, jnp.asarray(0.0, jnp.float32), mgsize=1)
+        m, pool, slots2, _ = vm.recut(m, pool, win2, valid, par, MS2, 1, jnp.asarray(0.0, jnp.float32))
+        m = vm.accumulate_cov(m, slots2, win2, var, valid, par, MS2)
+        m, pool = vm.margi(m, pool, slots2, win2, var, valid, par, MS2, jnp.asarray(0.0, jnp.float32), mgsize=1)
         assert bool(m.sealed[s])
         assert float(m.fix_N[s]) == pytest.approx(80)
         # pool points of sealed voxels are dropped the next time margi sees
         # them (reference clears point_fix on the NEXT visit after sealing,
         # octree.cpp:448-469); a third pass flushes the remainder
-        m, pool = vm.margi(m, pool, win2, var,
+        m, pool = vm.margi(m, pool, slots2, win2, var,
                            jnp.zeros_like(valid), par, MS2,
                            jnp.asarray(0.0, jnp.float32), mgsize=0)
         assert int(jnp.sum(pool.valid)) == 0

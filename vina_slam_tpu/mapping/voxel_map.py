@@ -83,7 +83,9 @@ class VoxelMap(NamedTuple):
     fix_P: jnp.ndarray         # (C, 3, 3) f32, voxel-center-relative
     fix_v: jnp.ndarray         # (C, 3) f32
     fix_N: jnp.ndarray         # (C,) f32
-    cov_fix: jnp.ndarray       # (C, 9, 9) f32  (Bf_var sums of fixed points)
+    cov_add: jnp.ndarray       # (C, 9, 9) f32 — Bf_var accumulator of ALL points
+                               # at their insertion-time world positions (the
+                               # reference's ever-growing cov_add, octree.cpp:173-176)
     plane_center: jnp.ndarray  # (C, 3) f32 world
     plane_normal: jnp.ndarray  # (C, 3) f32
     plane_var: jnp.ndarray     # (C, 6, 6) f32
@@ -103,6 +105,8 @@ class FixPool(NamedTuple):
     pts: jnp.ndarray    # (F, 3) f32 world
     var: jnp.ndarray    # (F, 3, 3) f32
     valid: jnp.ndarray  # (F,) bool
+    slot: jnp.ndarray   # (F,) i32 cached leaf assignment (refreshed on
+                        # split redistribution and eviction)
     head: jnp.ndarray   # () i32 ring position
     n_dropped: jnp.ndarray  # () i32 diagnostic
 
@@ -117,7 +121,7 @@ def make_map(ms: MapStatic) -> VoxelMap:
         fix_P=jnp.zeros((C, 3, 3), f32),
         fix_v=jnp.zeros((C, 3), f32),
         fix_N=jnp.zeros(C, f32),
-        cov_fix=jnp.zeros((C, 9, 9), f32),
+        cov_add=jnp.zeros((C, 9, 9), f32),
         plane_center=jnp.zeros((C, 3), f32),
         plane_normal=jnp.zeros((C, 3), f32),
         plane_var=jnp.zeros((C, 6, 6), f32),
@@ -137,6 +141,7 @@ def make_pool(ms: MapStatic) -> FixPool:
         pts=jnp.zeros((F, 3), jnp.float32),
         var=jnp.zeros((F, 3, 3), jnp.float32),
         valid=jnp.zeros(F, bool),
+        slot=jnp.full((F,), -1, jnp.int32),
         head=jnp.zeros((), jnp.int32),
         n_dropped=jnp.zeros((), jnp.int32),
     )
@@ -290,14 +295,15 @@ def _seg_bf(slots, rel, var, valid, C):
     return out.reshape(C, 9, 9)
 
 
-def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, with_bf: bool, jour):
-    """Materialize fixed clusters: sealed slots keep their frozen stats,
-    unsealed slots recompute from the raw pool. Pool points are assigned
-    with child CREATION (fix_divide semantics, octree.cpp:257-277): a split
-    voxel's fixed points must create and populate missing children, not be
-    dropped. Roots are never created (evicted voxels stay gone).
+def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, jour):
+    """Redistribute fixed mass after subdivisions: reassign every pool point
+    (creating missing children — fix_divide semantics, octree.cpp:257-277),
+    recompute unsealed fixed clusters from the pool, and store them back.
+    Sealed slots keep their frozen stats. Roots are never created (evicted
+    voxels stay gone). Called only when recut actually split a node or after
+    eviction — NOT per scan.
 
-    Returns (m, fix, cov_fix, pool_slot)."""
+    Returns (m, pool) with refreshed fix arrays and cached pool slots."""
     C = ms.capacity
     m, slot = assign_insert(m, pool.pts, pool.valid, params, ms, jour,
                             create_roots=False)
@@ -305,16 +311,31 @@ def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, with_bf: bool, jour):
     _, centers, _ = slot_meta(m, slot, params)
     rel = pool.pts - centers
     pc = _seg_cluster(slot, rel, ok, C)
-    fix = cl.Cluster(
-        P=jnp.where(m.sealed[:, None, None], m.fix_P, pc.P),
-        v=jnp.where(m.sealed[:, None], m.fix_v, pc.v),
-        N=jnp.where(m.sealed, m.fix_N, pc.N),
+    m = m._replace(
+        fix_P=jnp.where(m.sealed[:, None, None], m.fix_P, pc.P),
+        fix_v=jnp.where(m.sealed[:, None], m.fix_v, pc.v),
+        fix_N=jnp.where(m.sealed, m.fix_N, pc.N),
     )
-    cov_fix = None
-    if with_bf:
-        bf = _seg_bf(slot, rel, pool.var, ok, C)
-        cov_fix = jnp.where(m.sealed[:, None, None], m.cov_fix, bf)
-    return m, fix, cov_fix, slot
+    pool = pool._replace(slot=jnp.where(pool.valid, slot, -1))
+    return m, pool
+
+
+@partial(jax.jit, static_argnames=("ms",))
+def accumulate_cov(m: VoxelMap, slots, pts_w, var_w, valid, params: MapParams,
+                   ms: MapStatic):
+    """Add the Bf_var contributions of newly inserted points to the per-voxel
+    cov_add accumulator (OctoTree::push, octree.cpp:172-176). Called once per
+    point lifetime, at insertion, exactly like the reference — the plane
+    covariance therefore uses insertion-time positions (the reference's
+    documented staleness)."""
+    flat_s = slots.reshape(-1)
+    flat_p = pts_w.reshape(-1, 3)
+    flat_var = var_w.reshape(-1, 3, 3)
+    flat_v = valid.reshape(-1)
+    _, centers, _ = slot_meta(m, flat_s, params)
+    rel = flat_p - centers
+    bf = _seg_bf(flat_s, rel, flat_var, flat_v, ms.capacity)
+    return m._replace(cov_add=m.cov_add + bf)
 
 
 def _plane_judge(eig, level, params: MapParams):
@@ -335,19 +356,19 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     (the caller transforms body buffers by the latest poses — this makes the
     reference's insert + recut pair a single idempotent recompute).
 
-    Runs `levels` split waves; each wave fits planes on the current leaf
-    assignment and marks populated non-planar leaves for subdivision
-    (octree.cpp:335-393). Returns (map, slots (W, Np), levels (W, Np))."""
+    Runs up to `levels` split waves; each wave fits planes on the current
+    leaf assignment and marks populated non-planar leaves for subdivision
+    (octree.cpp:335-393). Fixed clusters come from the STORED per-slot
+    arrays (kept current by margi); the pool-based redistribution runs only
+    inside the split-triggered waves. Returns (map, pool, slots (W, Np),
+    levels (W, Np))."""
     C = ms.capacity
     W, Np, _ = win_pts_w.shape
     flat_w = win_pts_w.reshape(-1, 3)
     flat_v = win_valid.reshape(-1)
 
-    # materialize fixed clusters once per recut (redistribution of fixed mass
-    # into children created THIS call lands at the next recut/margi)
-    m, fix, _, _ = _pool_fix(m, pool, params, ms, with_bf=False, jour=jour)
-
     def wave_fn(m):
+        fix = cl.Cluster(P=m.fix_P, v=m.fix_v, N=m.fix_N)
         m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
         lv_pt, centers, _ = slot_meta(m, slots, params)
         rel = flat_w - centers
@@ -376,18 +397,24 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         m = m._replace(state=jnp.where(want_split, 1, m.state))
         return m, slots, lv_pt, jnp.any(want_split & (m.state == 1))
 
+    def wave_with_redistribute(op):
+        mm, pp = op
+        mm, pp = _pool_fix(mm, pp, params, ms, jour)
+        mm, slots, lv, split = wave_fn(mm)
+        return mm, pp, slots, lv, split
+
     m, slots, levels_pt, had_split = wave_fn(m)
     # later waves only execute when the previous one actually split a node
     # (steady state rarely splits; lax.cond skips the work at runtime)
     for wave in range(1, ms.levels):
-        m, slots, levels_pt, had_split = jax.lax.cond(
+        m, pool, slots, levels_pt, had_split = jax.lax.cond(
             had_split,
-            wave_fn,
-            lambda mm: (mm, slots, levels_pt, jnp.asarray(False)),
-            m,
+            wave_with_redistribute,
+            lambda op: (op[0], op[1], slots, levels_pt, jnp.asarray(False)),
+            (m, pool),
         )
 
-    return m, slots.reshape(W, Np), levels_pt.reshape(W, Np)
+    return m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np)
 
 
 # ----------------------------------------------------------------- match
@@ -503,31 +530,34 @@ def _plane_update(tot: cl.Cluster, cov_add, eig_w, eig_V, centers):
 
 
 @partial(jax.jit, static_argnames=("ms", "mgsize"))
-def margi(m: VoxelMap, pool: FixPool, win_pts_w, win_var_w, win_valid,
+def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
           params: MapParams, ms: MapStatic, jour, mgsize: int = 1):
     """Marginalize the oldest `mgsize` window frames into fixed statistics
     (OctoTree::margi, octree.cpp:395-495) and refresh plane parameters +
     covariances (plane_update cadence, octree.cpp:441-446).
 
+    slots: (W, Np) the leaf assignment from this step's recut — node
+    membership is fixed at insertion like the reference's octrees, so margi
+    re-transforms points with the POST-BA poses but does not reassign.
     win_pts_w/win_var_w: (W, Np, 3)/(W, Np, 3, 3) world positions and world
-    covariances of all window points under the POST-BA poses; frames
-    [0, mgsize) are absorbed. The caller shifts its buffers afterwards."""
+    covariances under the post-BA poses; frames [0, mgsize) are absorbed.
+    The caller shifts its buffers afterwards."""
     C = ms.capacity
     W, Np, _ = win_pts_w.shape
     flat_w = win_pts_w.reshape(-1, 3)
     flat_var = win_var_w.reshape(-1, 3, 3)
     flat_v = win_valid.reshape(-1)
+    slots = slots.reshape(-1)
 
-    m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
-    m, fix, cov_fix, pool_slot = _pool_fix(m, pool, params, ms, with_bf=True, jour=jour)
+    fix = cl.Cluster(P=m.fix_P, v=m.fix_v, N=m.fix_N)
+    pool_slot = pool.slot
 
     lv_pt, centers_pt, _ = slot_meta(m, slots, params)
     rel = flat_w - centers_pt
     wc_all = _seg_cluster(slots, rel, flat_v, C)
-    bf_win = _seg_bf(slots, rel, flat_var, flat_v, C)
 
     tot = cl.add(fix, wc_all)
-    cov_add = cov_fix + bf_win
+    cov_add = m.cov_add
 
     lv_slot, centers_slot, _ = slot_meta(m, jnp.arange(C), params)
     occupied = m.keys != vh.EMPTY_KEY
@@ -558,18 +588,17 @@ def margi(m: VoxelMap, pool: FixPool, win_pts_w, win_var_w, win_valid,
     slot_unsealed = (slots >= 0) & (fix.N[jnp.maximum(slots, 0)] < params.max_points)
     append = marg_flat & slot_unsealed
 
-    # frame-0 contribution per slot (for the updated fixed stats)
+    # frame-0 contribution per slot (for the updated fixed stats); the
+    # points' Bf covariance contributions are ALREADY in cov_add (added once
+    # at insertion, accumulate_cov) — the reference never re-adds either
     wc_m = _seg_cluster(slots, rel, append, C)
-    bf_m = _seg_bf(slots, rel, flat_var, append, C)
     fix_new = cl.add(fix, wc_m)
-    cov_fix_new = cov_fix + bf_m
 
     newly_sealed = leaf & (fix_new.N >= params.max_points) & ~m.sealed
     sealed = m.sealed | newly_sealed
     m = m._replace(
         sealed=sealed,
         fix_P=fix_new.P, fix_v=fix_new.v, fix_N=fix_new.N,
-        cov_fix=cov_fix_new,
     )
 
     # ring-append the marginalized raw points (pool feeds future splits)
@@ -582,6 +611,7 @@ def margi(m: VoxelMap, pool: FixPool, win_pts_w, win_var_w, win_valid,
         pts=pool.pts.at[dst].set(flat_w, mode="drop"),
         var=pool.var.at[dst].set(flat_var, mode="drop"),
         valid=pool.valid.at[dst].set(True, mode="drop"),
+        slot=pool.slot.at[dst].set(slots, mode="drop"),
         head=(pool.head + n_app) % F,
     )
     # drop pool points of sealed voxels (reference clears point_fix when full,
@@ -620,7 +650,7 @@ def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic
         keys=new_keys,
         state=move(m.state), sealed=move(m.sealed),
         fix_P=move(m.fix_P), fix_v=move(m.fix_v), fix_N=move(m.fix_N),
-        cov_fix=move(m.cov_fix),
+        cov_add=move(m.cov_add),
         plane_center=move(m.plane_center), plane_normal=move(m.plane_normal),
         plane_var=move(m.plane_var), plane_radius=move(m.plane_radius),
         is_plane=move(m.is_plane),
@@ -628,7 +658,8 @@ def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic
         last_num=move(m.last_num), jour=move(m.jour),
         n_dropped=m.n_dropped,
     )
-    # pool entries of evicted voxels die with them
+    # pool entries of evicted voxels die with them; refresh cached slots
     pslot, _, _ = descend(m2, pool.pts, params, ms)
-    pool = pool._replace(valid=pool.valid & (pslot >= 0))
+    pool = pool._replace(valid=pool.valid & (pslot >= 0),
+                         slot=jnp.where(pool.valid & (pslot >= 0), pslot, -1))
     return m2, pool

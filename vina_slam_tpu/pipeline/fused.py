@@ -162,7 +162,13 @@ def steady_step(
     p32 = xs.p.astype(jnp.float32)
     win_w = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
     win_w = jnp.where(win_valid[..., None], win_w, 1e7)
-    m, slots, _ = vm.recut(st.m, st.pool, win_w, win_valid, params, ms, W, st.jour)
+    m, pool0, slots, _ = vm.recut(st.m, st.pool, win_w, win_valid, params, ms, W, st.jour)
+    # insertion-time Bf covariance accumulation for the NEW frame only
+    # (OctoTree::push semantics, octree.cpp:172-176)
+    new_row = jnp.minimum(i, W - 1)
+    m = vm.accumulate_cov(
+        m, slots[new_row], win_w[new_row], win_var[new_row],
+        win_valid[new_row], params, ms)
     factors = fx.extract_factors(m, slots, win_pts, win_valid, params, ms, Vmax, W)
 
     # ---------------- window-full branch: BA + margi + shift ----------------
@@ -186,8 +192,8 @@ def steady_step(
         p32 = xs.p.astype(jnp.float32)
         ww = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
         ww = jnp.where(win_valid[..., None], ww, 1e7)
-        m, pool = vm.margi(m, pool, ww, win_var, win_valid, params, ms, jour,
-                           mgsize=1)
+        m, pool = vm.margi(m, pool, slots, ww, win_var, win_valid, params, ms,
+                           jour, mgsize=1)
 
         # shift the window (local_mapping.cpp:521-546)
         win_pts = jnp.roll(win_pts, -1, axis=0)
@@ -200,7 +206,7 @@ def steady_step(
     def not_full(op):
         return op
 
-    op = (m, st.pool, xs, pre_f, win_pts, win_var, win_valid, x, st.jour)
+    op = (m, pool0, xs, pre_f, win_pts, win_var, win_valid, x, st.jour)
     m, pool, xs, pre_f, win_pts, win_var, win_valid, x, jour = jax.lax.cond(
         full, full_branch, not_full, op)
     win_count = jnp.where(full, win_count - 1, win_count)

@@ -39,9 +39,10 @@ class ScanPlanes(NamedTuple):
     valid: jnp.ndarray    # (S,)
 
 
-@partial(jax.jit, static_argnames=("levels", "caps"))
+@partial(jax.jit, static_argnames=("levels", "caps", "max_out"))
 def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
-                        levels: int = 3, caps=(2048, 4096, 8192)) -> ScanPlanes:
+                        levels: int = 3, caps=(2048, 4096, 8192),
+                        max_out: int = 512) -> ScanPlanes:
     """generate_voxel + fitScanPlane (voxel_map.cpp:169-200 +
     octree.cpp:628-684): voxelize the body-frame scan, fit planes, subdivide
     non-planar voxels (N >= 6) up to max_layer; keep planes passing the
@@ -103,13 +104,21 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
             split_vox = occupied & ~is_pl & (n >= 6)
             parent_split = parent_split & inb & split_vox[jnp.minimum(seg, cap - 1)]
 
-    return ScanPlanes(
+    allp = ScanPlanes(
         center=jnp.concatenate([o.center for o in outs]),
         normal=jnp.concatenate([o.normal for o in outs]),
         quality=jnp.concatenate([o.quality for o in outs]),
         sigma_n=jnp.concatenate([o.sigma_n for o in outs]),
         valid=jnp.concatenate([o.valid for o in outs]),
     )
+    # compact to a small fixed cap: the VNC 27-neighbor walk costs per
+    # PADDED slot, and real scans yield only O(100) planes
+    nz = jnp.nonzero(allp.valid, size=max_out, fill_value=-1)[0]
+    ok = nz >= 0
+    safe = jnp.maximum(nz, 0)
+    return ScanPlanes(
+        center=allp.center[safe], normal=allp.normal[safe],
+        quality=allp.quality[safe], sigma_n=allp.sigma_n[safe], valid=ok)
 
 
 class IekfResult(NamedTuple):

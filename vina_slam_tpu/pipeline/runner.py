@@ -373,9 +373,14 @@ class SlamRunner:
         out = {}
         Rs, ps = self._stacked_poses()
         win_w = _win_world(self.win_pts, self.win_valid, Rs, ps)
-        self.map, slots, _ = vm.recut(
+        self.map, self.pool, slots, _ = vm.recut(
             self.map, self.pool, win_w, self.win_valid, self.params, self.ms,
             self.W, jnp.asarray(self.jour, jnp.float32))
+        # insertion-time Bf accumulation for the newly pushed frame
+        new_row = min(self.win_count - 1, self.W - 1)
+        self.map = vm.accumulate_cov(
+            self.map, slots[new_row], win_w[new_row], self.win_var[new_row],
+            self.win_valid[new_row], self.params, self.ms)
 
         if self.win_count >= self.W:
             factors = fx.extract_factors(
@@ -401,7 +406,7 @@ class SlamRunner:
             # marginalize the oldest frame (local_mapping.cpp:505-546)
             win_w = _win_world(self.win_pts, self.win_valid, Rs, ps)
             self.map, self.pool = vm.margi(
-                self.map, self.pool, win_w, self.win_var, self.win_valid,
+                self.map, self.pool, slots, win_w, self.win_var, self.win_valid,
                 self.params, self.ms, jnp.asarray(self.jour, jnp.float32), mgsize=1)
 
             # marginalized cloud -> keyframes / global map (pub_localmap)
@@ -572,7 +577,7 @@ class SlamRunner:
 
             Rs, ps = self._stacked_poses()
             win_w = _win_world(self.win_pts, self.win_valid, Rs, ps)
-            self.map, slots, _ = vm.recut(
+            self.map, self.pool, slots, _ = vm.recut(
                 self.map, self.pool, win_w, self.win_valid, params, self.ms,
                 W, jnp.asarray(0.0, jnp.float32))
             factors = fx.extract_factors(
