@@ -241,3 +241,34 @@ class TestPreintegration:
         np.testing.assert_allclose(np.asarray(f2.dbg), np.asarray(dxi)[9:12], atol=1e-12)
         f3 = pre.rollback_bias_state(f2)
         np.testing.assert_allclose(np.asarray(f3.dbg), 0, atol=0)
+
+
+class TestMerge:
+    def test_merge_equals_full_integration(self):
+        """IMU_PRE::merge (cpp:248-274): composing two preintegrated halves
+        must equal integrating the whole block."""
+        r = np.random.default_rng(13)
+        n = 24
+        ts = 10.0 + np.cumsum(np.full(n, 0.005))
+        gyr = r.normal(scale=0.5, size=(n, 3))
+        acc = r.normal(scale=1.0, size=(n, 3)) + [0, 0, 9.8]
+        bg = np.array([0.01, -0.005, 0.002])
+        ba = np.array([0.05, 0.02, -0.03])
+        nm, nw = np.eye(6) * 0.01, np.eye(6) * 1e-4
+
+        full = pre.factor_from_block(ImuBlock(ts, gyr, acc), bg, ba, nm, nw, 1.0)
+        h = n // 2
+        # split so the second half starts at the shared sample
+        f1 = pre.factor_from_block(ImuBlock(ts[:h + 1], gyr[:h + 1], acc[:h + 1]),
+                                   bg, ba, nm, nw, 1.0)
+        f2 = pre.factor_from_block(ImuBlock(ts[h:], gyr[h:], acc[h:]),
+                                   bg, ba, nm, nw, 1.0)
+        merged = pre.merge(f1, f2)
+        np.testing.assert_allclose(np.asarray(merged.R_delta), np.asarray(full.R_delta), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(merged.p_delta), np.asarray(full.p_delta), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(merged.v_delta), np.asarray(full.v_delta), atol=1e-10)
+        assert float(merged.dtime) == pytest.approx(float(full.dtime))
+        # bias Jacobians compose to the same values
+        np.testing.assert_allclose(np.asarray(merged.R_bg), np.asarray(full.R_bg), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(merged.p_bg), np.asarray(full.p_bg), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(merged.v_ba), np.asarray(full.v_ba), atol=1e-8)
