@@ -22,6 +22,10 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: the fused pipeline program is large and its
+    # (remote) compile dominates cold-start; cache it across runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from vina_slam_tpu.core.config import SlamConfig
     from vina_slam_tpu.pipeline.runner import SlamRunner
