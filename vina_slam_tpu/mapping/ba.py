@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM
@@ -92,18 +93,21 @@ def _imu_assemble(pre_f: pre.PreintFactor, w: WindowPoses, W: int,
     return res, H, g
 
 
+def _lift_matrix(W, L):
+    """0/1 embedding P (L, 6W) mapping pose-only coords into the DIM layout;
+    H_full = P H6 P^T in one matmul (replaces W^2 slice updates — far
+    smaller XLA graph than hess_plus's per-block loop, optimizers.cpp:171)."""
+    P = np.zeros((L, 6 * W))
+    for i in range(W):
+        P[i * DIM:i * DIM + 6, i * 6:(i + 1) * 6] = np.eye(6)
+    return jnp.asarray(P)
+
+
 def _lift6_to_full(H6, g6, W, L):
     """Map the 6-DoF lidar blocks into the DIM-DoF layout
     (hess_plus, optimizers.cpp:171-179)."""
-    H = jnp.zeros((L, L), jnp.float64)
-    g = jnp.zeros((L,), jnp.float64)
-    H6 = H6.reshape(W, 6, W, 6)
-    g6 = g6.reshape(W, 6)
-    for i in range(W):
-        g = g.at[i * DIM:i * DIM + 6].add(g6[i])
-        for j in range(W):
-            H = H.at[i * DIM:i * DIM + 6, j * DIM:j * DIM + 6].add(H6[i, :, j, :])
-    return H, g
+    P = _lift_matrix(W, L)
+    return P @ H6 @ P.T, P @ g6
 
 
 def _apply_step(w: WindowPoses, dxi, W, with_gravity):
