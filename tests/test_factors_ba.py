@@ -39,8 +39,11 @@ def make_factors(V=6, W=4, seed=0, n_pts=60, noise=0.01, static_poses=False):
             pw = centers[v] + uv[:, :1] * b1 + uv[:, 1:] * b2
             pw += nrm * rng.normal(scale=noise, size=(n_pts, 1))
             pb = (pw - ps_true[w]) @ Rs_true[w]  # world -> body
-            Pb[v, w] = pb.T @ pb
-            vb[v, w] = pb.sum(0)
+            # central-moment parameterization (factors.py docstring)
+            mean = pb.mean(0)
+            pc = pb - mean
+            Pb[v, w] = pc.T @ pc
+            vb[v, w] = mean
             Nb[v, w] = n_pts
 
     f = fx.BAFactors(
@@ -62,7 +65,9 @@ class TestLidarFactor:
         f, Rs, ps = make_factors()
         W = Rs.shape[0]
         res0, JacT, H = fx.lidar_acc(f, Rs, ps, W)
-        eps = 1e-6
+        # the factor kernels run in f32 (central moments): FD needs a larger
+        # step than the f64 era, and the comparison an f32-appropriate rtol
+        eps = 5e-4
         for k in range(6 * W):
             d = np.zeros((W, 6)); d.flat[k] = eps
             Rp, pp = perturb(Rs, ps, jnp.asarray(d))
@@ -70,7 +75,7 @@ class TestLidarFactor:
             Rm, pm = perturb(Rs, ps, jnp.asarray(-d))
             rm = float(fx.lidar_residual(f, Rm, pm))
             fd = (rp - rm) / (2 * eps)
-            np.testing.assert_allclose(fd, float(JacT[k]), rtol=2e-4, atol=1e-7,
+            np.testing.assert_allclose(fd, float(JacT[k]), rtol=5e-2, atol=2e-6,
                                        err_msg=f"grad col {k}")
 
     def test_hessian_fd_gn_dominant(self):
@@ -81,7 +86,7 @@ class TestLidarFactor:
         _, _, H = fx.lidar_acc(f, Rs, ps, W)
         H = np.asarray(H)
         np.testing.assert_allclose(H, H.T, atol=1e-9)
-        eps = 1e-4
+        eps = 3e-3
         # sample a few second differences d^T H d vs FD of the cost
         rng = np.random.default_rng(1)
         for _ in range(5):
@@ -93,12 +98,33 @@ class TestLidarFactor:
             rm = float(fx.lidar_residual(f, Rm, pm))
             fd2 = (rp - 2 * r0 + rm)
             quad = float(d.reshape(-1) @ H @ d.reshape(-1))
-            np.testing.assert_allclose(quad, fd2, rtol=0.3, atol=1e-9)
+            np.testing.assert_allclose(quad, fd2, rtol=0.3, atol=1e-6)
+
+    def test_residual_matches_f64_oracle(self):
+        """f32 central-moment residual vs f64 numpy eigenvalues from raw
+        point reconstruction."""
+        V, W, n_pts = 4, 3, 80
+        rng2 = np.random.default_rng(17)
+        f, Rs, ps = make_factors(V=V, W=W, seed=17, n_pts=n_pts, noise=0.01)
+        got = float(fx.lidar_residual(f, Rs, ps))
+        # oracle: rebuild aggregate covariance per voxel in f64
+        tot = 0.0
+        for v in range(V):
+            P = np.zeros((3, 3)); s_ = np.zeros(3); n = 0.0
+            for w in range(W):
+                R = np.asarray(Rs[w]); p = np.asarray(ps[w]) - np.asarray(f.centers[v])
+                u = R @ np.asarray(f.vb[v, w], np.float64) + p
+                N = float(f.Nb[v, w])
+                P += R @ np.asarray(f.Pb[v, w], np.float64) @ R.T + N * np.outer(u, u)
+                s_ += N * u; n += N
+            cov = P / n - np.outer(s_ / n, s_ / n)
+            tot += np.linalg.eigvalsh(cov)[0]
+        np.testing.assert_allclose(got, tot, rtol=1e-4, atol=1e-8)
 
     def test_residual_is_lambda_min(self):
         f, Rs, ps = make_factors(noise=0.0)
-        # noise-free planes: residual ~ 0 at true poses
-        assert float(fx.lidar_residual(f, Rs, ps)) < 1e-12
+        # noise-free planes: residual ~ 0 at true poses (f32 path)
+        assert float(fx.lidar_residual(f, Rs, ps)) < 1e-9
         # perturbed poses increase it
         d = jnp.full((Rs.shape[0], 6), 0.02)
         Rp, pp = perturb(Rs, ps, d)
@@ -114,7 +140,7 @@ class TestNormalFactor:
         Rs, ps = perturb(Rs, ps, d0)
         res0, JacT, H = fx.normal_acc(f, Rs, ps, W)
         assert float(res0) > 0
-        eps = 1e-6
+        eps = 5e-4
         for k in range(0, 6 * W, 5):
             d = np.zeros((W, 6)); d.flat[k] = eps
             Rp, pp = perturb(Rs, ps, jnp.asarray(d))
@@ -122,8 +148,8 @@ class TestNormalFactor:
             fd = (float(fx.normal_residual(f, Rp, pp)) -
                   float(fx.normal_residual(f, Rm, pm))) / (2 * eps)
             # GN gradient J^T r equals the true gradient of 0.5|r|^2 up to
-            # the (small) curvature of u_min
-            np.testing.assert_allclose(fd, float(JacT[k]), rtol=0.05, atol=1e-6,
+            # the (small) curvature of u_min + f32 FD noise
+            np.testing.assert_allclose(fd, float(JacT[k]), rtol=0.1, atol=1e-5,
                                        err_msg=f"col {k}")
 
 

@@ -17,10 +17,16 @@ where Abig stacks the per-frame 3x6 Auk blocks into [V, 3, 6W] and
 g[V, 6W] stacks (v_i x (R_i^T u_k) ; n_i u_k) per frame — the cross-frame
 correction blocks of cpp:100-118 are exactly this rank-1 outer product.
 
-All factor math runs in f64 (tiny tensors: V voxels x W frames of 3x3
-moments) with translations shifted per voxel by the voxel center c_v, so
-aggregate covariances never suffer f32 cancellation; eigenstructure is
-shift-invariant so results equal the reference's unshifted doubles.
+Precision design: factor math runs in f32 on TPU (f64 is emulated ~20x
+slower) using a cancellation-free CENTRAL-MOMENT parameterization: per
+(voxel, frame) we store the central body moments P_c = sum (p-mean)(p-mean)^T
+and the mean; the world-frame per-frame moments are then exactly
+  P_w = R P_c R^T + N u u^T,   v_w = N u,   u = R mean + (p_i - c_v)
+with u small (sensor-to-voxel offsets), so the aggregate covariance and its
+lambda_min carry NO catastrophic cancellation in f32. Only the Auk
+derivative terms reconstruct the raw moments (P_c + N mean mean^T) and pick
+up ~1e-4 relative noise — harmless to LM. Extraction computes the segment
+sums in f64 once, centralizes, and stores f32.
 
 Unlike the reference, which caches eig state from the last
 evaluate_only_residual (factors.cpp:152-154) and reuses it in
@@ -44,9 +50,9 @@ from vina_slam_tpu.mapping.voxel_map import MapParams, MapStatic, VoxelMap, slot
 
 class BAFactors(NamedTuple):
     """Per-voxel factor payload (push_voxel analog, factors.cpp:11-20),
-    padded to a static V. All f64; `coe` is 0 on padding rows."""
-    Pb: jnp.ndarray      # (V, W, 3, 3) body-frame window cluster moments
-    vb: jnp.ndarray      # (V, W, 3)
+    padded to a static V. All f32; `coe` is 0 on padding rows."""
+    Pb: jnp.ndarray      # (V, W, 3, 3) CENTRAL body-frame second moments
+    vb: jnp.ndarray      # (V, W, 3) body-frame cluster MEAN
     Nb: jnp.ndarray      # (V, W)
     fix_P: jnp.ndarray   # (V, 3, 3)  fixed cluster, voxel-center frame
     fix_v: jnp.ndarray   # (V, 3)
@@ -100,17 +106,22 @@ def extract_factors(m: VoxelMap, slots, win_pts_body, win_valid,
     Nb = jax.ops.segment_sum(w, seg, num_segments=V * W + 1)[: V * W].reshape(V, W)
 
     _, centers, _ = slot_meta(m, safe, params)
-    nrm = m.plane_normal[safe].astype(jnp.float64)
+    nrm = m.plane_normal[safe].astype(jnp.float32)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
 
+    # centralize in f64, then store f32 (see module docstring)
+    mean = vb / jnp.maximum(Nb, 1.0)[..., None]
+    Pc = Pb - Nb[..., None, None] * mean[..., :, None] * mean[..., None, :]
+
     return BAFactors(
-        Pb=Pb, vb=vb, Nb=Nb,
-        fix_P=m.fix_P[safe].astype(jnp.float64),
-        fix_v=m.fix_v[safe].astype(jnp.float64),
-        fix_N=m.fix_N[safe].astype(jnp.float64),
-        centers=centers.astype(jnp.float64),
+        Pb=Pc.astype(jnp.float32), vb=mean.astype(jnp.float32),
+        Nb=Nb.astype(jnp.float32),
+        fix_P=m.fix_P[safe],
+        fix_v=m.fix_v[safe],
+        fix_N=m.fix_N[safe],
+        centers=centers,
         n_ref=nrm,
-        coe=jnp.where(vvalid, 1.0, 0.0),
+        coe=jnp.where(vvalid, jnp.float32(1.0), jnp.float32(0.0)),
         n_valid=jnp.sum(vvalid).astype(jnp.int32),
     )
 
@@ -125,17 +136,18 @@ def _hat(v):
 
 
 def _aggregate(f: BAFactors, Rs, ps):
-    """Pose-transformed per-voxel aggregate in the voxel-center frame:
-    tot = fix + sum_i transform(body_i; R_i, p_i - c_v)
-    (PointCluster::transform, types.hpp:168-174)."""
+    """Pose-transformed per-voxel aggregate in the voxel-center frame from
+    CENTRAL moments (exact, cancellation-free in f32):
+      u_i = R_i mean_i + (p_i - c_v)
+      P_w = R P_c R^T + N u u^T,  v_w = N u
+    (equivalent to PointCluster::transform, types.hpp:168-174).
+    Returns (P, v, N, t) with t = p_i - c_v (the shifted translations)."""
     t = ps[None, :, :] - f.centers[:, None, :]            # (V, W, 3)
-    Rv = jnp.einsum("wij,vwj->vwi", Rs, f.vb)             # R v
-    v_w = Rv + f.Nb[..., None] * t
-    rp = Rv[..., :, None] * t[..., None, :]
+    u = jnp.einsum("wij,vwj->vwi", Rs, f.vb) + t          # (V, W, 3), small
+    v_w = f.Nb[..., None] * u
     P_w = (
         jnp.einsum("wij,vwjk,wlk->vwil", Rs, f.Pb, Rs)
-        + rp + jnp.swapaxes(rp, -1, -2)
-        + f.Nb[..., None, None] * t[..., :, None] * t[..., None, :]
+        + f.Nb[..., None, None] * u[..., :, None] * u[..., None, :]
     )
     P = f.fix_P + jnp.sum(P_w, axis=1)
     v = f.fix_v + jnp.sum(v_w, axis=1)
@@ -153,25 +165,34 @@ def _eig_state(P, v, N):
 
 def _auk(f: BAFactors, Rs, t, uk, vbar, NN):
     """Auk blocks (factors.cpp:79-83): the 3x6 derivative of the aggregate
-    covariance action on u_k w.r.t. pose i. Returns (Auk (V,W,3,6), x=(v_i x
-    R_i^T u_k) (V,W,3), RiTuk, vihat-free extras used by the Hessian)."""
+    covariance action on u_k w.r.t. pose i. Raw body moments are
+    reconstructed from the central parameterization (Pi = P_c + N m m^T,
+    vi = N m) — derivative-only terms, tolerant of f32 rounding. Returns
+    (Auk (V,W,3,6), x=(v_i x R_i^T u_k), RiTuk, RiTukhat, combo1, Pi)."""
+    dtype = f.Pb.dtype
+    m_ = f.vb                                             # body mean
+    Ni = f.Nb
+    vi = Ni[..., None] * m_                               # raw first moment
     RiTuk = jnp.einsum("wji,vj->vwi", Rs, uk)             # R_i^T u_k
-    x = jnp.cross(f.vb, RiTuk)                            # vihat @ RiTuk
-    PiRiTuk = jnp.einsum("vwij,vwj->vwi", f.Pb, RiTuk)
+    x = jnp.cross(vi, RiTuk)                              # vihat @ RiTuk
+    # Pi RiTuk = Pc RiTuk + N m (m . RiTuk)
+    PiRiTuk = (jnp.einsum("vwij,vwj->vwi", f.Pb, RiTuk)
+               + vi * jnp.einsum("vwi,vwi->vw", m_, RiTuk)[..., None])
     ti_v = t - vbar[:, None, :]                           # (V, W, 3)
     ukTti_v = jnp.einsum("vi,vwi->vw", uk, ti_v)
-    combo1 = _hat(PiRiTuk) + _hat(f.vb) * ukTti_v[..., None, None]
-    combo2 = jnp.einsum("wij,vwj->vwi", Rs, f.vb) + f.Nb[..., None] * ti_v
+    combo1 = _hat(PiRiTuk) + _hat(vi) * ukTti_v[..., None, None]
+    combo2 = jnp.einsum("wij,vwj->vwi", Rs, vi) + Ni[..., None] * ti_v
     RiTukhat = _hat(RiTuk)
-    RiPi = jnp.einsum("wij,vwjk->vwik", Rs, f.Pb)
-    A_rot = jnp.einsum(
-        "vwij,vwjk->vwik",
-        RiPi + ti_v[..., :, None] * f.vb[..., None, :], RiTukhat,
-    ) - jnp.einsum("wij,vwjk->vwik", Rs, combo1)
+    # (Ri Pi + ti_v vi^T) = Ri Pc + (Ri m) (N m)^T + ti_v vi^T
+    Rm = jnp.einsum("wij,vwj->vwi", Rs, m_)
+    RiPi_plus = (jnp.einsum("wij,vwjk->vwik", Rs, f.Pb)
+                 + Rm[..., :, None] * vi[..., None, :]
+                 + ti_v[..., :, None] * vi[..., None, :])
+    A_rot = jnp.einsum("vwij,vwjk->vwik", RiPi_plus, RiTukhat)         - jnp.einsum("wij,vwjk->vwik", Rs, combo1)
     A_tsl = (
         combo2[..., :, None] * uk[:, None, None, :]
         + jnp.einsum("vwi,vi->vw", combo2, uk)[..., None, None]
-        * jnp.eye(3, dtype=jnp.float64)
+        * jnp.eye(3, dtype=dtype)
     )
     Auk = jnp.concatenate([A_rot, A_tsl], axis=-1) / NN[:, None, None, None]
     return Auk, x, RiTuk, RiTukhat, combo1
@@ -179,7 +200,10 @@ def _auk(f: BAFactors, Rs, t, uk, vbar, NN):
 @partial(jax.jit, static_argnames=("W",))
 def lidar_acc(f: BAFactors, Rs, ps, W: int):
     """acc_evaluate2 (factors.cpp:22-126): residual, gradient (6W,), and the
-    full Gauss-Newton Hessian (6W, 6W) of sum_v coe_v * lambda_min."""
+    full Gauss-Newton Hessian (6W, 6W) of sum_v coe_v * lambda_min.
+    Internally f32 (central moments, see module docstring); outputs f64."""
+    Rs = Rs.astype(jnp.float32)
+    ps = ps.astype(jnp.float32)
     P, v, N, t = _aggregate(f, Rs, ps)
     lmbd, U, vbar, NN = _eig_state(P, v, N)
     uk = U[..., :, 0]
@@ -192,7 +216,7 @@ def lidar_acc(f: BAFactors, Rs, ps, W: int):
         U[..., :, 1:3], U[..., :, 1:3])
 
     Auk, x, RiTuk, RiTukhat, combo1 = _auk(f, Rs, t, uk, vbar, NN)
-    mask = active[..., None, None].astype(jnp.float64)
+    mask = active[..., None, None].astype(jnp.float32)
     Auk = Auk * mask
     x = x * active[..., None]
 
@@ -212,10 +236,14 @@ def lidar_acc(f: BAFactors, Rs, ps, W: int):
     cg = -2.0 * coe / (NN * NN)
     H = H + jnp.einsum("v,va,vb->ab", cg, g, g)
 
-    # block-diagonal extras (cpp:88-94 minus the cross-form i==j parts)
+    # block-diagonal extras (cpp:88-94 minus the cross-form i==j parts);
+    # RiTukhat @ Pi reconstructed: RiTukhat Pc - x m^T (since
+    # hat(RiTuk) N m m^T = N (RiTuk x m) m^T = -x m^T)
     ukukT = uk[:, :, None] * uk[:, None, :]
+    RiTukhatPi = (jnp.einsum("vwij,vwjk->vwik", RiTukhat, f.Pb)
+                  - x[..., :, None] * f.vb[..., None, :])
     d_rot = (2.0 / NN[:, None, None, None]) * (
-        jnp.einsum("vwij,vwjk->vwik", combo1 - jnp.einsum("vwij,vwjk->vwik", RiTukhat, f.Pb), RiTukhat)
+        jnp.einsum("vwij,vwjk->vwik", combo1 - RiTukhatPi, RiTukhat)
     ) - 0.5 * _hat(jjt[..., 0:3])
     d_rt = (2.0 / NN[:, None, None, None]) * x[..., :, None] * uk[:, None, None, :]
     d_tt = (2.0 * f.Nb / NN[:, None])[..., None, None] * ukukT[:, None]
@@ -223,32 +251,35 @@ def lidar_acc(f: BAFactors, Rs, ps, W: int):
     bot = jnp.concatenate([jnp.swapaxes(d_rt, -1, -2), d_tt], axis=-1)
     dblk = jnp.concatenate([top, bot], axis=-2) * mask    # (V, W, 6, 6)
     dblk = jnp.einsum("v,vwab->wab", coe, dblk)
-    Hd = jnp.zeros((W, 6, W, 6)).at[jnp.arange(W), :, jnp.arange(W), :].add(dblk)
+    Hd = jnp.zeros((W, 6, W, 6), jnp.float32).at[
+        jnp.arange(W), :, jnp.arange(W), :].add(dblk)
     H = H + Hd.reshape(W * 6, W * 6)
 
-    residual = jnp.sum(coe * lmbd[:, 0])
-    return residual, JacT, H
+    residual = jnp.sum((coe * lmbd[:, 0]).astype(jnp.float64))
+    return residual, JacT.astype(jnp.float64), H.astype(jnp.float64)
 
 
 @jax.jit
 def lidar_residual(f: BAFactors, Rs, ps):
     """evaluate_only_residual (factors.cpp:128-158): sum coe * lambda_min."""
-    P, v, N, _ = _aggregate(f, Rs, ps)
+    P, v, N, _ = _aggregate(f, Rs.astype(jnp.float32), ps.astype(jnp.float32))
     lmbd, _, _, _ = _eig_state(P, v, N)
-    return jnp.sum(f.coe * lmbd[:, 0])
+    return jnp.sum((f.coe * lmbd[:, 0]).astype(jnp.float64))
 
 
 @partial(jax.jit, static_argnames=("W",))
 def normal_acc(f: BAFactors, Rs, ps, W: int):
     """NormalFactor::acc_evaluate2 (factors.cpp:185-304): VNC cost
     0.5 * coe * |(I - n n^T) u_min|^2 with GN Hessian J^T J."""
+    Rs = Rs.astype(jnp.float32)
+    ps = ps.astype(jnp.float32)
     P, v, N, t = _aggregate(f, Rs, ps)
     lmbd, U, vbar, NN = _eig_state(P, v, N)
     uk = U[..., :, 0]
     has = N > 0  # sig.N == 0 guard (factors.cpp:220-221)
-    coe = f.coe * has.astype(jnp.float64)
+    coe = f.coe * has.astype(jnp.float32)
 
-    S = jnp.eye(3, dtype=jnp.float64) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
+    S = jnp.eye(3, dtype=jnp.float32) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
     r = jnp.einsum("vij,vj->vi", S, uk)
     residual = 0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))
 
@@ -258,23 +289,24 @@ def normal_acc(f: BAFactors, Rs, ps, W: int):
     Tn = jnp.einsum("vik,vk,vjk->vij", U[..., :, 1:3], 1.0 / gaps, U[..., :, 1:3])
 
     Auk, _, _, _, _ = _auk(f, Rs, t, uk, vbar, NN)
-    Auk = Auk * (f.Nb > 0)[..., None, None].astype(jnp.float64)
+    Auk = Auk * (f.Nb > 0)[..., None, None].astype(jnp.float32)
     STn = jnp.einsum("vij,vjk->vik", S, Tn)
     J = jnp.einsum("vij,vwja->vwia", STn, Auk)            # (V, W, 3, 6)
 
     JacT = jnp.einsum("v,vwia,vi->wa", coe, J, r).reshape(W * 6)
     Jbig = jnp.swapaxes(J, 1, 2).reshape(-1, 3, W * 6)
     H = jnp.einsum("via,vib->ab", Jbig * coe[:, None, None], Jbig)
-    return residual, JacT, H
+    return (residual.astype(jnp.float64), JacT.astype(jnp.float64),
+            H.astype(jnp.float64))
 
 
 @jax.jit
 def normal_residual(f: BAFactors, Rs, ps):
-    P, v, N, _ = _aggregate(f, Rs, ps)
+    P, v, N, _ = _aggregate(f, Rs.astype(jnp.float32), ps.astype(jnp.float32))
     lmbd, U, _, _ = _eig_state(P, v, N)
     uk = U[..., :, 0]
     has = N > 0
-    coe = f.coe * has.astype(jnp.float64)
-    S = jnp.eye(3, dtype=jnp.float64) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
+    coe = f.coe * has.astype(jnp.float32)
+    S = jnp.eye(3, dtype=jnp.float32) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
     r = jnp.einsum("vij,vj->vi", S, uk)
-    return 0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))
+    return (0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))).astype(jnp.float64)

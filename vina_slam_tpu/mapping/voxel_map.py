@@ -207,20 +207,29 @@ def _init_new_slots(m: VoxelMap, slots, mask, jour):
 
 
 def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
-    """Create missing entries for `keys` where need_mask; returns the
-    updated map.
+    """Create missing entries for `keys` where need_mask; returns
+    (map, created_any).
 
     No dedup sort: insert_keys' claim-and-verify converges with duplicate
     keys (duplicates see their key present and finish), and sorting 10^5
     int64 codes is the single most expensive op on TPU (emulated 64-bit
-    bitonic sort). Duplicate winners re-init the same slot harmlessly."""
-    new_keys, slots, placed = vh.insert_keys(m.keys, keys, need_mask, ms.probe, rounds=ms.probe)
-    m = m._replace(
-        keys=new_keys,
-        n_dropped=m.n_dropped + jnp.sum(need_mask & ~placed).astype(jnp.int32),
-    )
-    m = _init_new_slots(m, slots, placed, jour)
-    return m
+    bitonic sort). Duplicate winners re-init the same slot harmlessly.
+
+    The whole insert machinery is cond-skipped when nothing is missing —
+    the common steady-state case (a mapped area revisits existing voxels)."""
+    need_any = jnp.any(need_mask)
+
+    def do(mm):
+        new_keys, slots, placed = vh.insert_keys(
+            mm.keys, keys, need_mask, ms.probe, rounds=ms.probe)
+        mm = mm._replace(
+            keys=new_keys,
+            n_dropped=mm.n_dropped + jnp.sum(need_mask & ~placed).astype(jnp.int32),
+        )
+        return _init_new_slots(mm, slots, placed, jour)
+
+    m = jax.lax.cond(need_any, do, lambda mm: mm, m)
+    return m, need_any
 
 
 def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
@@ -232,10 +241,11 @@ def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
     Returns (map, slot[N]). slot==-1 only for invalid points or drops."""
     root = vh.coords_of(wld, params.voxel_size)
     key0 = vh.encode(0, root)
-    if create_roots:
-        slot0 = vh.find_slots(m.keys, key0, ms.probe)
-        m = _create_level(m, key0, valid & (slot0 < 0), jour, ms)
     slot = vh.find_slots(m.keys, key0, ms.probe)
+    if create_roots:
+        m, created = _create_level(m, key0, valid & (slot < 0), jour, ms)
+        slot = jax.lax.cond(
+            created, lambda: vh.find_slots(m.keys, key0, ms.probe), lambda: slot)
     coords = root
     for l in range(1, ms.levels):
         edge = params.voxel_size / (2.0 ** (l - 1))
@@ -244,8 +254,9 @@ def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
         child_coords = 2 * coords + (wld > center).astype(jnp.int32)
         ckey = vh.encode(l, child_coords)
         cslot = vh.find_slots(m.keys, ckey, ms.probe)
-        m = _create_level(m, ckey, split & (cslot < 0), jour, ms)
-        cslot = vh.find_slots(m.keys, ckey, ms.probe)
+        m, created = _create_level(m, ckey, split & (cslot < 0), jour, ms)
+        cslot = jax.lax.cond(
+            created, lambda: vh.find_slots(m.keys, ckey, ms.probe), lambda: cslot)
         slot = jnp.where(split, cslot, slot)
         coords = jnp.where(split[..., None], child_coords, coords)
     return m, jnp.where(valid, slot, -1)
