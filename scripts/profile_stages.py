@@ -80,8 +80,10 @@ def main():
         runner.ms, cfg.tpu.max_voxels_ba, W))
 
     print("pre_buf:", len(runner.pre_buf), flush=True)
-    if len(runner.pre_buf) == W - 1:
-        pre_st = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *runner.pre_buf)
+    if runner.pre_buf:
+        # pad to W-1 edges so the BA stage always gets timed
+        pb = list(runner.pre_buf) + [runner.pre_buf[-1]] * (W - 1 - len(runner.pre_buf))
+        pre_st = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pb)
         w0 = ba.WindowPoses(R=Rs.astype(jnp.float64), p=ps.astype(jnp.float64),
                             v=jnp.stack([x.v for x in runner.x_buf]),
                             bg=jnp.stack([x.bg for x in runner.x_buf]),
