@@ -27,21 +27,44 @@ def cmd_run(args):
 
     cfg = load_config(args.config)
     runner = SlamRunner(cfg)
+    if args.resume:
+        from vina_slam_tpu.platform.checkpoint import load_checkpoint
+        load_checkpoint(args.resume, runner)
     writer = io.TumWriter(args.out) if args.out else None
 
+    if args.data.endswith(".db3"):
+        from vina_slam_tpu.platform.rosbag import replay_rosbag
+        source = replay_rosbag(args.data, cfg)
+    else:
+        source = dataset.replay_npz(args.data, cfg)
+
     n = 0
+    n_streamed = 0
     t0 = time.perf_counter()
-    for frame in dataset.replay_npz(args.data, cfg):
+    for frame in source:
         out = runner.process_frame(frame)
         n += 1
-        if out is not None and writer is not None:
+        if out is not None and writer is not None and "pose_R" in out:
+            # modular path emits per-frame poses; the fused path queues
+            # asynchronously and the refined trajectory is written at the end
             writer.write(out["t"], out["pose_R"], out["pose_p"])
+            n_streamed += 1
         if args.max_frames and n >= args.max_frames:
             break
     elapsed = time.perf_counter() - t0
 
     if writer:
+        # fused path queues asynchronously: write the final (BA-refined)
+        # trajectory if nothing was streamed per frame
+        if n_streamed == 0:
+            runner.drain_traj()
+            for t, R, p in runner.traj:
+                writer.write(t, R, p)
         writer.close()
+    if args.checkpoint:
+        from vina_slam_tpu.platform.checkpoint import save_checkpoint
+        runner.drain_traj()
+        save_checkpoint(args.checkpoint, runner)
     if args.refined_out:
         traj = runner.trajectory()
         np.savetxt(args.refined_out, traj, fmt="%.9f")
@@ -99,6 +122,8 @@ def main(argv=None):
     pr.add_argument("--refined-out", default="")
     pr.add_argument("--markers", default="")
     pr.add_argument("--max-frames", type=int, default=0)
+    pr.add_argument("--checkpoint", default="", help="save full state npz at end")
+    pr.add_argument("--resume", default="", help="resume from a checkpoint npz")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("synth-bench", help="synthetic smoke run")
