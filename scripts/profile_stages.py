@@ -80,7 +80,8 @@ def main():
         runner.ms, cfg.tpu.max_voxels_ba, W))
 
     print("pre_buf:", len(runner.pre_buf), flush=True)
-    if runner.pre_buf:
+    try:
+      if runner.pre_buf:
         # pad to W-1 edges so the BA stage always gets timed
         pb = list(runner.pre_buf) + [runner.pre_buf[-1]] * (W - 1 - len(runner.pre_buf))
         pre_st = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pb)
@@ -93,6 +94,8 @@ def main():
             w0, factors, pre_st, jnp.asarray(cfg.local_ba.imu_coef), W, max_iter=10))
         timeit("lidar_acc(1 hess)", lambda: fx.lidar_acc(
             factors, w0.R, w0.p, W))
+    except Exception as e:
+      print("BA timing skipped:", e, flush=True)
 
     timeit("margi", lambda: vm.margi(
         runner.map, runner.pool, slots, win_w, runner.win_var, runner.win_valid,

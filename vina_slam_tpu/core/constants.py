@@ -27,6 +27,6 @@ I32 = np.int32
 # Every scan is padded up to one of these sizes so each bucket hits exactly one
 # compiled XLA program (BASELINE.md "compile stability" target).
 SCAN_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536, 131072)
-IMU_BUCKET = 64          # max IMU samples per scan interval (10Hz scan, <=400Hz IMU)
+IMU_BUCKET = 128         # max IMU samples per scan interval (10 Hz scan, up to 1 kHz IMU)
 
 EMPTY_SLOT = -1          # sentinel for unoccupied hash slots / invalid indices
