@@ -83,3 +83,24 @@ def inv_psd(A: jnp.ndarray) -> jnp.ndarray:
     n = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
     return solve_psd(A, eye)
+
+
+def solve_psd_refined(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """f64-accurate PSD solve using the NATIVE f32 Cholesky (fast on TPU,
+    where f64 factorizations are either unsupported or sequential) plus
+    f64 iterative refinement: factor once in f32, then 2 residual-correction
+    passes recover ~f64 accuracy for moderately conditioned systems (the
+    damped gauge-fixed LM Hessians here). A breakdown (NaN) propagates to
+    the step and is absorbed by the LM reject/re-damp path."""
+    A32 = A.astype(jnp.float32)
+    L = jax.scipy.linalg.cholesky(A32, lower=True)
+
+    def f32_solve(rhs):
+        return jax.scipy.linalg.cho_solve((L, True), rhs.astype(jnp.float32)
+                                          ).astype(jnp.float64)
+
+    x = f32_solve(b)
+    for _ in range(iters):
+        r = b - A @ x
+        x = x + f32_solve(r)
+    return x

@@ -35,6 +35,8 @@ class PreintFactor(NamedTuple):
     v_ba: jnp.ndarray
     dtime: jnp.ndarray    # (...,)
     cov: jnp.ndarray      # (..., 15, 15)
+    cov_inv: jnp.ndarray  # (..., 15, 15) cached information (cov is fixed
+                          # through the LM; only dbg/dba change)
     dbg: jnp.ndarray      # (..., 3) first-order bias corrections
     dba: jnp.ndarray
     dbg_buf: jnp.ndarray  # rollback buffers
@@ -48,6 +50,7 @@ def _zero(dtype=jnp.float64):
         R_delta=jnp.eye(3, dtype=dtype), p_delta=z3, v_delta=z3,
         R_bg=z33, p_bg=z33, p_ba=z33, v_bg=z33, v_ba=z33,
         dtime=jnp.zeros((), dtype), cov=jnp.zeros((DIM, DIM), dtype),
+        cov_inv=jnp.zeros((DIM, DIM), dtype),
         dbg=z3, dba=z3, dbg_buf=z3, dba_buf=z3,
     )
 
@@ -99,14 +102,14 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
         fn = PreintFactor(
             R_delta=R_delta, p_delta=p_delta, v_delta=v_delta,
             R_bg=R_bg, p_bg=p_bg, p_ba=p_ba, v_bg=v_bg, v_ba=v_ba,
-            dtime=f.dtime + dti, cov=cov,
+            dtime=f.dtime + dti, cov=cov, cov_inv=f.cov_inv,
             dbg=f.dbg, dba=f.dba, dbg_buf=f.dbg_buf, dba_buf=f.dba_buf,
         )
         f_out = jax.tree_util.tree_map(lambda old, new: jnp.where(vld, new, old), f, fn)
         return f_out, None
 
     f, _ = jax.lax.scan(body, f0, (gyr_mid, acc_mid, dt, valid))
-    return f
+    return f._replace(cov_inv=inv_psd(f.cov))
 
 
 def factor_from_block(imu: ImuBlock, bg, ba, noise_meas, noise_walk, scale_gravity) -> PreintFactor:
@@ -154,7 +157,7 @@ def evaluate(f: PreintFactor, st1: NavState, st2: NavState, with_gravity: bool =
     rr = jnp.concatenate([
         so3.log(res_R), res_t, res_v, st2.bg - st1.bg, st2.ba - st1.ba,
     ])
-    cov_inv = inv_psd(f.cov)
+    cov_inv = f.cov_inv  # cached at build (cov is fixed through the LM)
     cost = rr @ cov_inv @ rr
 
     JR_inv = so3.jr_inv(res_R)
@@ -234,7 +237,7 @@ def merge(f1: PreintFactor, f2: PreintFactor) -> PreintFactor:
         p_delta=f1.p_delta + f1.v_delta * f2.dtime + f1.R_delta @ f2.p_delta,
         v_delta=f1.v_delta + f1.R_delta @ f2.v_delta,
         R_bg=R_bg, p_bg=p_bg, p_ba=p_ba, v_bg=v_bg, v_ba=v_ba,
-        dtime=f1.dtime + f2.dtime, cov=cov,
+        dtime=f1.dtime + f2.dtime, cov=cov, cov_inv=inv_psd(cov),
     )
 
 

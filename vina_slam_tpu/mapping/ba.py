@@ -28,7 +28,7 @@ import numpy as np
 
 from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM
-from vina_slam_tpu.core.linalg import solve_psd
+from vina_slam_tpu.core.linalg import solve_psd, solve_psd_refined
 from vina_slam_tpu.core.state import NavState
 from vina_slam_tpu.estimation import preintegration as pre
 from vina_slam_tpu.mapping import factors as fx
@@ -199,7 +199,7 @@ def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
         Hf = Hf.at[:gauge, :gauge].set(jnp.eye(gauge))
         gf = g.at[:gauge].set(0.0)
         D = jnp.diag(jnp.diag(Hf))
-        dxi = solve_psd(Hf + u * D, -gf)
+        dxi = solve_psd_refined(Hf + u * D, -gf)
 
         w_try = _apply_step(w_, dxi, W, with_gravity)
         pre_try = jax.vmap(pre.update_bias_state)(
@@ -271,7 +271,7 @@ def damping_iter_lidar_only(w: WindowPoses, lidar_f: fx.BAFactors,
         Hf = Hf.at[:6, :6].set(jnp.eye(6))
         gf = g.at[:6].set(0.0)
         D = jnp.diag(jnp.diag(Hf))
-        dxi = solve_psd(Hf + u * D, -gf)
+        dxi = solve_psd_refined(Hf + u * D, -gf)
         d = dxi.reshape(W, 6)
         w_try = w_._replace(
             R=jnp.einsum("wij,wjk->wik", w_.R, so3.exp(d[:, 0:3])),
