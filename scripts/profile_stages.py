@@ -76,20 +76,21 @@ def main():
     _, _, slots, _ = out
 
     factors = timeit("extract_factors", lambda: fx.extract_factors(
-        runner.map, slots, runner.win_pts, runner.win_valid, runner.params,
+        runner.map, slots, win_w, runner.win_valid, Rs, ps, runner.params,
         runner.ms, cfg.tpu.max_voxels_ba, W))
 
     print("pre_buf:", len(runner.pre_buf), flush=True)
     try:
       if runner.pre_buf:
-        # pad to W-1 edges so the BA stage always gets timed
+        # pad edges to W-1 and states to W so the BA stage always gets timed
         pb = list(runner.pre_buf) + [runner.pre_buf[-1]] * (W - 1 - len(runner.pre_buf))
         pre_st = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *pb)
+        xb = list(runner.x_buf) + [runner.x_buf[-1]] * (W - len(runner.x_buf))
         w0 = ba.WindowPoses(R=Rs.astype(jnp.float64), p=ps.astype(jnp.float64),
-                            v=jnp.stack([x.v for x in runner.x_buf]),
-                            bg=jnp.stack([x.bg for x in runner.x_buf]),
-                            ba=jnp.stack([x.ba for x in runner.x_buf]),
-                            g=runner.x_buf[-1].g)
+                            v=jnp.stack([x.v for x in xb]),
+                            bg=jnp.stack([x.bg for x in xb]),
+                            ba=jnp.stack([x.ba for x in xb]),
+                            g=xb[-1].g)
         timeit("ba.damping_iter(10)", lambda: ba.damping_iter(
             w0, factors, pre_st, jnp.asarray(cfg.local_ba.imu_coef), W, max_iter=10))
         timeit("lidar_acc(1 hess)", lambda: fx.lidar_acc(

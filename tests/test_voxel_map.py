@@ -68,6 +68,20 @@ class TestHash:
         got = sorted(np.asarray(uniq)[np.asarray(uvalid)].tolist())
         assert got == [5, 7]
 
+    def test_compact_indices_matches_nonzero(self):
+        rng = np.random.default_rng(7)
+        for n, size in [(64, 16), (20480, 4096), (1 << 16, 1 << 14), (1000, 8)]:
+            mask = jnp.asarray(rng.random(n) < 0.03)
+            got = np.asarray(vh.compact_indices(mask, size, -1))
+            want = np.asarray(
+                jnp.nonzero(mask, size=size, fill_value=-1)[0])
+            np.testing.assert_array_equal(got, want)
+
+    def test_compact_indices_overflow_drops(self):
+        mask = jnp.ones(256, bool)
+        got = np.asarray(vh.compact_indices(mask, 16, -1))
+        np.testing.assert_array_equal(got, np.arange(16))
+
 
 def _insert_cloud(m, pts, par, jour=0.0):
     pts = jnp.asarray(pts, jnp.float32)

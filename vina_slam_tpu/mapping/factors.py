@@ -64,13 +64,18 @@ class BAFactors(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("ms", "V", "W"))
-def extract_factors(m: VoxelMap, slots, win_pts_body, win_valid,
+def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
                     params: MapParams, ms: MapStatic, V: int, W: int) -> BAFactors:
     """tras_opt analog (octree.cpp:498-549): gather every active planar leaf
     (ratio gate lambda0/lambda1 <= 0.12, with window data) into padded
     factor arrays.
 
-    slots: (W, Np) leaf assignment from recut; win_pts_body: (W, Np, 3)."""
+    slots: (W, Np) leaf assignment from recut; win_pts_w: (W, Np, 3) WORLD
+    positions under the current window poses (Rs, ps): the per-(voxel,frame)
+    moments accumulate voxel-center-relative in f32 (|rel| ~ voxel edge, so
+    centralizing is cancellation-free — no emulated-f64 segment sums), then
+    the exact covariant transform recovers the body-frame central moments:
+    P_c,body = R_i^T P_c,world R_i, mean_body = R_i^T (mean_world - p_i)."""
     C = ms.capacity
 
     flat_slots = slots.reshape(-1)
@@ -97,25 +102,31 @@ def extract_factors(m: VoxelMap, slots, win_pts_body, win_valid,
         jnp.arange(W)[:, None], slots.shape).reshape(-1)
     pos = inv[jnp.where(flat_valid, flat_slots, C)]
     seg = jnp.where(flat_valid & (pos >= 0), pos * W + frame_id, V * W)
-    pts64 = win_pts_body.reshape(-1, 3).astype(jnp.float64)
-    w = (seg < V * W).astype(jnp.float64)
-    p = pts64 * w[:, None]
-    Pb = jax.ops.segment_sum((p[:, :, None] * p[:, None, :]).reshape(-1, 9), seg,
+    _, centers_pt, _ = slot_meta(m, flat_slots, params)
+    rel = (win_pts_w.reshape(-1, 3) - centers_pt).astype(jnp.float32)
+    w = (seg < V * W).astype(jnp.float32)
+    p = rel * w[:, None]
+    Pr = jax.ops.segment_sum((p[:, :, None] * p[:, None, :]).reshape(-1, 9), seg,
                              num_segments=V * W + 1)[: V * W].reshape(V, W, 3, 3)
-    vb = jax.ops.segment_sum(p, seg, num_segments=V * W + 1)[: V * W].reshape(V, W, 3)
+    vr = jax.ops.segment_sum(p, seg, num_segments=V * W + 1)[: V * W].reshape(V, W, 3)
     Nb = jax.ops.segment_sum(w, seg, num_segments=V * W + 1)[: V * W].reshape(V, W)
 
     _, centers, _ = slot_meta(m, safe, params)
     nrm = m.plane_normal[safe].astype(jnp.float32)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
 
-    # centralize in f64, then store f32 (see module docstring)
-    mean = vb / jnp.maximum(Nb, 1.0)[..., None]
-    Pc = Pb - Nb[..., None, None] * mean[..., :, None] * mean[..., None, :]
+    # centralize in the world voxel-center frame, then rotate to body axes
+    mean_rel = vr / jnp.maximum(Nb, 1.0)[..., None]
+    Pc_w = Pr - Nb[..., None, None] * mean_rel[..., :, None] * mean_rel[..., None, :]
+    R32 = Rs.astype(jnp.float32)
+    p32 = ps.astype(jnp.float32)
+    Pc_b = jnp.einsum("wji,vwjk,wkl->vwil", R32, Pc_w, R32)
+    mean_w = mean_rel + centers[:, None, :] - p32[None, :, :]
+    mean_b = jnp.einsum("wji,vwj->vwi", R32, mean_w)
 
     return BAFactors(
-        Pb=Pc.astype(jnp.float32), vb=mean.astype(jnp.float32),
-        Nb=Nb.astype(jnp.float32),
+        Pb=Pc_b, vb=mean_b,
+        Nb=Nb,
         fix_P=m.fix_P[safe],
         fix_v=m.fix_v[safe],
         fix_N=m.fix_N[safe],

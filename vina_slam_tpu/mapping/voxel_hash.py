@@ -58,10 +58,13 @@ def _mix(key: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("probe",))
 def find_slots(table_keys: jnp.ndarray, query: jnp.ndarray, probe: int = 16) -> jnp.ndarray:
-    """Vectorized lookup: query (N,) int64 keys -> slot (N,) int32, -1 if not
-    present. Linear probe over `probe` consecutive slots; the probe chain for
-    presence checks may stop at the first EMPTY slot (entries are never
-    deleted mid-chain without tombstones — eviction rebuilds, see evict)."""
+    """Vectorized lookup: query (N,) int64 keys -> slot (N,) int32. Absent
+    keys return -1 when the probe window still has an empty slot (an insert
+    could succeed) and -2 when the window is full (unplaceable until evict()
+    rebuilds). Callers that only test presence use slot >= 0; creation paths
+    retry ONLY the -1 case — retrying window-full keys made every skipped
+    create wave re-run its insert scan forever. Entries are never deleted
+    mid-chain without tombstones, so probing may rely on empties."""
     C = table_keys.shape[0]
     mask = jnp.uint64(C - 1)
     h0 = (_mix(query) & mask).astype(jnp.int32)
@@ -72,7 +75,8 @@ def find_slots(table_keys: jnp.ndarray, query: jnp.ndarray, probe: int = 16) -> 
     any_hit = jnp.any(hit, axis=1)
     first = jnp.argmax(hit, axis=1)
     slot = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
-    return jnp.where(any_hit, slot, -1)
+    has_space = jnp.any(occupants == EMPTY_KEY, axis=1)
+    return jnp.where(any_hit, slot, jnp.where(has_space, -1, -2))
 
 
 @partial(jax.jit, static_argnames=("probe", "rounds"))
@@ -116,6 +120,32 @@ def insert_keys(table_keys: jnp.ndarray, new_keys: jnp.ndarray, valid: jnp.ndarr
     )
     (table_keys, _, done, slots), _ = jax.lax.scan(body, init, None, length=rounds)
     return table_keys, slots, done
+
+
+def compact_indices(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
+    """Ascending indices of True entries, padded with `fill` to `size`
+    (jnp.nonzero(mask, size, fill)[0] equivalent). Lowered as two
+    triangular-ones MATMULS (MXU prefix sums) instead of reduce-window
+    cumsums: inside an XLA while-loop body the TPU backend's cumsum
+    lowering requests ~64 MB of scoped vmem against a 16 MB budget and
+    fails to compile ("It should not be possible to run out of scoped
+    vmem"); the matmul form dodges that and is fast anyway. Exact for
+    mask lengths < 2^24 (f32 integer range). Overflowing trues (position
+    >= size) are dropped."""
+    n = mask.shape[0]
+    ch = 512
+    pad = (-n) % ch
+    if pad:
+        mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+    rows = (n + pad) // ch
+    m2 = mask.reshape(rows, ch).astype(jnp.float32)
+    tri = jnp.triu(jnp.ones((ch, ch), jnp.float32), 1)
+    ex_in = m2 @ tri                                   # exclusive in-row prefix
+    row_off = jnp.sum(m2, axis=1) @ jnp.triu(jnp.ones((rows, rows), jnp.float32), 1)
+    pos = (row_off[:, None] + ex_in).reshape(-1).astype(jnp.int32)
+    idx = jnp.arange(n + pad, dtype=jnp.int32)
+    tgt = jnp.where(mask & (pos < size), pos, size)
+    return jnp.full(size + 1, fill, jnp.int32).at[tgt].set(idx, mode="drop")[:size]
 
 
 def unique_keys(keys: jnp.ndarray, valid: jnp.ndarray, size: int):

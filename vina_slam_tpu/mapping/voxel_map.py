@@ -52,6 +52,7 @@ class MapStatic(NamedTuple):
     probe: int = 16
     max_new: int = 4096       # new hash entries per insert wave
     pool_capacity: int = 1 << 20
+    active_cap: int = 1 << 14  # max leaves refit per recut wave (compaction)
 
 
 class MapParams(NamedTuple):
@@ -195,17 +196,6 @@ def descend(m: VoxelMap, wld, params: MapParams, ms: MapStatic):
     return _walk(m, root, wld, params, ms)
 
 
-def _init_new_slots(m: VoxelMap, slots, mask, jour):
-    """Stamp freshly claimed slots with the current journey.
-
-    All other per-voxel fields are ALREADY zero: slots are only ever freed by
-    evict(), whose rebuild zero-fills non-surviving rows — so a fresh claim
-    needs no field clearing (scattering ~150 floats per candidate across the
-    many _create_level calls per step was a dominant HBM cost)."""
-    s = jnp.where(mask, slots, m.keys.shape[0])  # drop-mode scatter target
-    return m._replace(jour=m.jour.at[s].set(jour, mode="drop"))
-
-
 def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
     """Create missing entries for `keys` where need_mask; returns
     (map, created_any).
@@ -219,28 +209,33 @@ def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
     insert scan: the claim-and-verify rounds cost per candidate processed,
     and typically only O(100) of 10^5 points need a new voxel (83 ms -> 12
     ms on TPU at 80k candidates). The whole step is additionally
-    cond-skipped when nothing is missing."""
+    cond-skipped when nothing is missing; the cond carries ONLY the arrays
+    the branch writes (keys, jour, n_dropped) because an XLA cond's
+    untaken-identity branch COPIES its carries — carrying the whole VoxelMap
+    (~150 MB of per-voxel state) cost ~6 ms per skipped call."""
     need_any = jnp.any(need_mask)
 
-    def do(mm):
-        nz = jnp.nonzero(need_mask, size=ms.max_new, fill_value=-1)[0]
+    def do(op):
+        tk, jr, nd = op
+        nz = vh.compact_indices(need_mask, ms.max_new, -1)
         sub_valid = nz >= 0
         sub_keys = keys[jnp.maximum(nz, 0)]
-        new_keys, slots, placed = vh.insert_keys(
-            mm.keys, sub_keys, sub_valid, ms.probe, rounds=ms.probe)
+        new_tk, slots, placed = vh.insert_keys(
+            tk, sub_keys, sub_valid, ms.probe, rounds=ms.probe)
         n_over = jnp.maximum(
             jnp.sum(need_mask.astype(jnp.int32)) - ms.max_new, 0
         ).astype(jnp.int32)
-        mm = mm._replace(
-            keys=new_keys,
-            n_dropped=(mm.n_dropped + n_over
-                       + jnp.sum(sub_valid & ~placed).astype(jnp.int32)
-                       ).astype(jnp.int32),
-        )
-        return _init_new_slots(mm, slots, placed, jour)
+        nd = (nd + n_over
+              + jnp.sum(sub_valid & ~placed).astype(jnp.int32)).astype(jnp.int32)
+        # journey-stamp the fresh claims (all other fields are already zero —
+        # evict's rebuild zero-fills freed rows)
+        tgt = jnp.where(placed, slots, tk.shape[0])
+        jr = jr.at[tgt].set(jour, mode="drop")
+        return new_tk, jr, nd
 
-    m = jax.lax.cond(need_any, do, lambda mm: mm, m)
-    return m, need_any
+    tk, jr, nd = jax.lax.cond(
+        need_any, do, lambda op: op, (m.keys, m.jour, m.n_dropped))
+    return m._replace(keys=tk, jour=jr, n_dropped=nd), need_any
 
 
 def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
@@ -254,7 +249,7 @@ def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
     key0 = vh.encode(0, root)
     slot = vh.find_slots(m.keys, key0, ms.probe)
     if create_roots:
-        m, created = _create_level(m, key0, valid & (slot < 0), jour, ms)
+        m, created = _create_level(m, key0, valid & (slot == -1), jour, ms)
         slot = jax.lax.cond(
             created, lambda: vh.find_slots(m.keys, key0, ms.probe), lambda: slot)
     coords = root
@@ -265,7 +260,7 @@ def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
         child_coords = 2 * coords + (wld > center).astype(jnp.int32)
         ckey = vh.encode(l, child_coords)
         cslot = vh.find_slots(m.keys, ckey, ms.probe)
-        m, created = _create_level(m, ckey, split & (cslot < 0), jour, ms)
+        m, created = _create_level(m, ckey, split & (cslot == -1), jour, ms)
         cslot = jax.lax.cond(
             created, lambda: vh.find_slots(m.keys, ckey, ms.probe), lambda: cslot)
         slot = jnp.where(split, cslot, slot)
@@ -390,56 +385,70 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     flat_v = win_valid.reshape(-1)
 
     def wave_fn(m):
-        fix = cl.Cluster(P=m.fix_P, v=m.fix_v, N=m.fix_N)
         m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
         lv_pt, centers, _ = slot_meta(m, slots, params)
         rel = flat_w - centers
         wc = _seg_cluster(slots, rel, flat_v, C)
-        tot = cl.add(fix, wc)
 
-        lv_slot, _, _ = slot_meta(m, jnp.arange(C), params)
-        occupied = m.keys != vh.EMPTY_KEY
-        leaf = occupied & (m.state == 0)
-        has_win = wc.N > 0
-        active = leaf & has_win
-        enough = tot.N > params.min_point[jnp.clip(lv_slot, 0, 3)]
-
-        eig_w, eig_V = eigh3(cl.cov(tot))
-        judged = _plane_judge(eig_w, lv_slot, params)
+        # The plane refit runs COMPACTED over the leaves the window actually
+        # touches (nonzero -> gather -> eigh3 -> drop-mode scatter): a scan
+        # window occupies O(10^3) of the 2^18 slots, and the full-capacity
+        # eigh3 + masked wheres over (C,3,3) arrays dominated recut. Active
+        # leaves beyond active_cap keep last scan's fit for one wave (cap is
+        # ~8x the observed worst case).
+        leaf = (m.keys != vh.EMPTY_KEY) & (m.state == 0)
+        active = leaf & (wc.N > 0)
+        rows = vh.compact_indices(active, ms.active_cap, C)
+        ok = rows < C
+        rr = jnp.minimum(rows, C - 1)
+        lv_a, _, _ = slot_meta(m, rr, params)
+        dt = wc.P.dtype
+        tot_a = cl.Cluster(
+            P=m.fix_P[rr].astype(dt) + wc.P[rr],
+            v=m.fix_v[rr].astype(dt) + wc.v[rr],
+            N=m.fix_N[rr].astype(dt) + wc.N[rr],
+        )
+        enough_a = ok & (tot_a.N > params.min_point[jnp.clip(lv_a, 0, 3)])
+        eig_a, V_a = eigh3(cl.cov(tot_a))
+        judged_a = _plane_judge(eig_a, lv_a, params)
 
         # reference recut: too-few points -> is_plane=false, eig untouched
-        upd = active & enough
-        new_is_plane = jnp.where(active, upd & judged, m.is_plane)
+        tgt_all = jnp.where(ok, rows, C)
+        tgt_upd = jnp.where(enough_a, rows, C)
+        want_split_a = enough_a & ~judged_a & (lv_a < ms.levels - 1)
+        tgt_split = jnp.where(want_split_a, rows, C)
         m = m._replace(
-            is_plane=new_is_plane,
-            eig_val=jnp.where(upd[:, None], eig_w.astype(jnp.float32), m.eig_val),
-            eig_vec=jnp.where(upd[:, None, None], eig_V.astype(jnp.float32), m.eig_vec),
+            is_plane=m.is_plane.at[tgt_all].set(enough_a & judged_a, mode="drop"),
+            eig_val=m.eig_val.at[tgt_upd].set(eig_a.astype(jnp.float32), mode="drop"),
+            eig_vec=m.eig_vec.at[tgt_upd].set(V_a.astype(jnp.float32), mode="drop"),
+            state=m.state.at[tgt_split].set(1, mode="drop"),
         )
-        want_split = upd & ~judged & (lv_slot < ms.levels - 1)
-        m = m._replace(state=jnp.where(want_split, 1, m.state))
         # another wave is needed if anything split OR some valid points are
-        # still slotless (child creation is throttled to max_new candidates
-        # per pass; stragglers get their children next wave)
-        unfinished = jnp.any(want_split) | jnp.any(flat_v & (slots < 0))
+        # still slotless but placeable (child creation is throttled to
+        # max_new candidates per pass; stragglers get their children next
+        # wave; slot==-2 probe-window-full points are dropped, not retried)
+        unfinished = jnp.any(want_split_a) | jnp.any(flat_v & (slots == -1))
         return m, slots, lv_pt, unfinished
 
-    def wave_with_redistribute(op):
-        mm, pp = op
-        mm, pp = _pool_fix(mm, pp, params, ms, jour)
-        mm, slots, lv, split = wave_fn(mm)
-        return mm, pp, slots, lv, split
+    m, slots, levels_pt, unfinished = wave_fn(m)
 
-    m, slots, levels_pt, had_split = wave_fn(m)
-    # later waves only execute when the previous one actually split a node or
-    # left stragglers (steady state rarely does; lax.cond skips the work).
-    # levels+1 passes cover a full split cascade plus a straggler pass.
-    for wave in range(1, ms.levels + 1):
-        m, pool, slots, levels_pt, had_split = jax.lax.cond(
-            had_split,
-            wave_with_redistribute,
-            lambda op: (op[0], op[1], slots, levels_pt, jnp.asarray(False)),
-            (m, pool),
-        )
+    # Later waves run only while the previous one split a node or left
+    # stragglers; a while_loop (not a chain of conds) because XLA aliases
+    # while carries in place, whereas each skipped cond's identity branch
+    # would copy the whole map. levels+1 passes cover a full split cascade
+    # plus a straggler pass.
+    def w_cond(carry):
+        return carry[5] & (carry[4] < ms.levels + 1)
+
+    def w_body(carry):
+        mm, pp, s, lv, w, _ = carry
+        mm, pp = _pool_fix(mm, pp, params, ms, jour)
+        mm, s, lv, unf = wave_fn(mm)
+        return mm, pp, s, lv, w + 1, unf
+
+    m, pool, slots, levels_pt, _, _ = jax.lax.while_loop(
+        w_cond, w_body,
+        (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), unfinished))
 
     return m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np)
 

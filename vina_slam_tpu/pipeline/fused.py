@@ -169,7 +169,8 @@ def steady_step(
     m = vm.accumulate_cov(
         m, slots[new_row], win_w[new_row], win_var[new_row],
         win_valid[new_row], params, ms)
-    factors = fx.extract_factors(m, slots, win_pts, win_valid, params, ms, Vmax, W)
+    factors = fx.extract_factors(m, slots, win_w, win_valid, xs.R, xs.p,
+                                 params, ms, Vmax, W)
 
     # ---------------- window-full branch: BA + margi + shift ----------------
     full = win_count >= W
@@ -219,11 +220,17 @@ def steady_step(
     jour = jnp.where(move, jour + spat.astype(jnp.float32), jour)
     last_pos = jnp.where(move, x.p, st.last_pos)
 
-    def do_evict(opme):
-        mm, pp = opme
-        return vm.evict(mm, pp, jour, params, ms)
+    # 0/1-iteration while_loop, NOT lax.cond: a cond's untaken-identity
+    # branch copies the ~150 MB map + pool every non-evict scan, while an
+    # XLA while aliases its carry in place and runs zero iterations.
+    def evict_body(carry):
+        mm, pp, _ = carry
+        mm, pp = vm.evict(mm, pp, jour, params, ms)
+        return mm, pp, jnp.asarray(True)
 
-    m, pool = jax.lax.cond(move & (jour > 700.0), do_evict, lambda o: o, (m, pool))
+    m, pool, _ = jax.lax.while_loop(
+        lambda c: ~c[2] & move & (jour > 700.0), evict_body,
+        (m, pool, jnp.asarray(False)))
 
     # ---------------- trajectory ring ----------------
     row = jnp.concatenate([

@@ -384,7 +384,7 @@ class SlamRunner:
 
         if self.win_count >= self.W:
             factors = fx.extract_factors(
-                self.map, slots, self.win_pts, self.win_valid, self.params,
+                self.map, slots, win_w, self.win_valid, Rs, ps, self.params,
                 self.ms, cfg.tpu.max_voxels_ba, self.W)
 
             if cfg.general.if_BA and len(self.pre_buf) == self.W - 1:
@@ -581,7 +581,7 @@ class SlamRunner:
                 self.map, self.pool, win_w, self.win_valid, params, self.ms,
                 W, jnp.asarray(0.0, jnp.float32))
             factors = fx.extract_factors(
-                self.map, slots, self.win_pts, self.win_valid, params, self.ms,
+                self.map, slots, win_w, self.win_valid, Rs, ps, params, self.ms,
                 cfg.tpu.max_voxels_ba, W)
             if int(factors.n_valid) < 10:
                 break
