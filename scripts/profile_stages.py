@@ -98,6 +98,39 @@ def main():
     except Exception as e:
       print("BA timing skipped:", e, flush=True)
 
+    # ---- pieces of the fused step not covered above ----
+    from vina_slam_tpu.estimation import ekf as ekf_mod
+    ekf = runner.ekf
+    arrays, cond_blk, n_iv = ekf_mod.build_intervals(
+        ekf.last_imu, ekf.last_pcl_end_time, f0.beg_time, f0.end_time, f0.imu)
+    x = runner.x_curr
+    prop = timeit("ekf _propagate(128 iv)", lambda: ekf_mod._propagate(
+        x.R, x.p, x.v, x.cov, x.bg, x.ba, x.g,
+        jnp.asarray(arrays["avr_gyr"]), jnp.asarray(arrays["avr_acc"]),
+        jnp.asarray(arrays["dt"]), jnp.asarray(arrays["offt"]),
+        jnp.asarray(arrays["valid"]),
+        jnp.asarray(np.asarray(ekf.cov_gyr)), jnp.asarray(np.asarray(ekf.cov_acc)),
+        jnp.asarray(np.asarray(ekf.cov_bias_gyr)),
+        jnp.asarray(np.asarray(ekf.cov_bias_acc)),
+        jnp.asarray(float(runner.imupre_scale_gravity)),
+        jnp.asarray(arrays["end_minus_last"])))
+    pose_table = prop[4]
+    timeit("ekf _deskew", lambda: ekf_mod._deskew(
+        full_pts, full_rel, full_valid, pose_table,
+        jnp.asarray(arrays["offt"]), jnp.sum(jnp.asarray(arrays["valid"])),
+        prop[0], prop[1], jnp.asarray(cfg.ext_R), jnp.asarray(cfg.ext_p)))
+
+    gm, am, dtm, vmid = ekf_mod.midpoint_arrays(cond_blk)
+    timeit("preint build_factor", lambda: pre.build_factor(
+        jnp.asarray(gm), jnp.asarray(am), jnp.asarray(dtm), jnp.asarray(vmid),
+        x.bg, x.ba, jnp.asarray(runner.noise_meas),
+        jnp.asarray(runner.noise_walk),
+        jnp.asarray(float(runner.imupre_scale_gravity))))
+
+    timeit("accumulate_cov(new row)", lambda: vm.accumulate_cov(
+        runner.map, slots[0], win_w[0], runner.win_var[0],
+        runner.win_valid[0], runner.params, runner.ms))
+
     timeit("margi", lambda: vm.margi(
         runner.map, runner.pool, slots, win_w, runner.win_var, runner.win_valid,
         runner.params, runner.ms, jnp.asarray(runner.jour, jnp.float32), mgsize=1))

@@ -39,10 +39,16 @@ def _propagate(
 ):
     """Scan over IMU intervals. Returns terminal (R, p, v, cov) extrapolated
     to scan end and the pose table (imu_poses analog) at interval starts.
-    All f64. Shapes: [K] interval arrays, masked by `valid`.
+    States f64; the covariance propagates in f32 (f64 15x15 matmuls are
+    emulated on TPU and dominated the scan) and is cast back on return.
+    Shapes: [K] interval arrays, masked by `valid`.
     """
+    f32 = jnp.float32
+    cg32, ca32 = jnp.diag(cov_gyr).astype(f32), jnp.diag(cov_acc).astype(f32)
+    cbg32, cba32 = jnp.diag(cov_bg).astype(f32), jnp.diag(cov_ba).astype(f32)
+
     def body(carry, inp):
-        R, p, v, cov = carry
+        R, p, v, cov = carry                           # cov: (15, 15) f32
         w_avr, a_avr, dti, vld = inp
         w = w_avr - bg
         a = a_avr * scale_gravity - ba
@@ -51,17 +57,19 @@ def _propagate(
         # pose-table entry BEFORE integrating this interval (imu_ekf.cpp:63)
         entry = (R, p, v, w, acc_w)
 
-        F = jnp.eye(DIM, dtype=R.dtype)
-        F = F.at[0:3, 0:3].set(so3.exp(-w * dti))
-        F = F.at[0:3, 9:12].set(-jnp.eye(3, dtype=R.dtype) * dti)
-        F = F.at[3:6, 6:9].set(jnp.eye(3, dtype=R.dtype) * dti)
-        F = F.at[6:9, 0:3].set(-R @ so3.hat(a) * dti)
-        F = F.at[6:9, 12:15].set(-R * dti)
-        Q = jnp.zeros((DIM, DIM), R.dtype)
-        Q = Q.at[0:3, 0:3].set(jnp.diag(cov_gyr) * dti * dti)
-        Q = Q.at[6:9, 6:9].set(R @ jnp.diag(cov_acc) @ R.T * dti * dti)
-        Q = Q.at[9:12, 9:12].set(jnp.diag(cov_bg) * dti * dti)
-        Q = Q.at[12:15, 12:15].set(jnp.diag(cov_ba) * dti * dti)
+        dti32 = dti.astype(f32)
+        Rf = R.astype(f32)
+        F = jnp.eye(DIM, dtype=f32)
+        F = F.at[0:3, 0:3].set(so3.exp(-w * dti).astype(f32))
+        F = F.at[0:3, 9:12].set(-jnp.eye(3, dtype=f32) * dti32)
+        F = F.at[3:6, 6:9].set(jnp.eye(3, dtype=f32) * dti32)
+        F = F.at[6:9, 0:3].set((-R @ so3.hat(a)).astype(f32) * dti32)
+        F = F.at[6:9, 12:15].set(-Rf * dti32)
+        Q = jnp.zeros((DIM, DIM), f32)
+        Q = Q.at[0:3, 0:3].set(cg32 * dti32 * dti32)
+        Q = Q.at[6:9, 6:9].set(Rf @ ca32 @ Rf.T * dti32 * dti32)
+        Q = Q.at[9:12, 9:12].set(cbg32 * dti32 * dti32)
+        Q = Q.at[12:15, 12:15].set(cba32 * dti32 * dti32)
         cov_n = F @ cov @ F.T + Q
 
         p_n = p + v * dti + 0.5 * acc_w * dti * dti
@@ -72,12 +80,14 @@ def _propagate(
         R = jnp.where(vld, R_n, R)
         p = p * (1 - m) + p_n * m
         v = v * (1 - m) + v_n * m
-        cov = cov * (1 - m) + cov_n * m
+        cov = jnp.where(vld, cov_n, cov)
         return (R, p, v, cov), entry + (w, acc_w)
 
     (R, p, v, cov), poses = jax.lax.scan(
-        body, (R0, p0, v0, cov0), (avr_gyr, avr_acc, dt, valid)
+        body, (R0, p0, v0, cov0.astype(f32)), (avr_gyr, avr_acc, dt, valid)
     )
+    cov = cov.astype(cov0.dtype)
+    cov = 0.5 * (cov + cov.T)   # exact symmetry for downstream Cholesky
     # terminal extrapolation to scan end (imu_ekf.cpp:88-94): signed dt from
     # the last IMU stamp to pcl_end_time, using the final interval's w/a.
     last_idx = jnp.maximum(jnp.sum(valid) - 1, 0)

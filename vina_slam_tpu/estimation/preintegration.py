@@ -63,8 +63,16 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
     bg/ba: linearization-point biases. noise_meas/noise_walk: (6, 6).
     """
     f0 = _zero()
+    f32 = jnp.float32
+    # Covariance propagates in f32: f64 matmuls are EMULATED on TPU and the
+    # 9x9/9x6 products per scan step dominated build_factor (~50 ms/scan);
+    # the covariance only weights the BA residuals, so f32 is ample. Delta
+    # states and bias Jacobians (used in residuals) stay f64.
+    nm32 = noise_meas.astype(f32)
+    nw32 = noise_walk.astype(f32)
 
-    def body(f, inp):
+    def body(carry, inp):
+        f, cov = carry                                 # cov: (15, 15) f32
         gm, am, dti, vld = inp
         w = gm - bg
         a = am * scale_gravity - ba
@@ -81,19 +89,20 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
         v_bg = f.v_bg - rot_dt @ a_skew @ f.R_bg
         R_bg = rot_inc.T @ f.R_bg - right_jac * dti
 
-        Ja = jnp.eye(9, dtype=jnp.float64)
-        Ja = Ja.at[0:3, 0:3].set(rot_inc.T)
-        Ja = Ja.at[3:6, 0:3].set(-rot_dt2_half @ a_skew)
-        Ja = Ja.at[3:6, 6:9].set(jnp.eye(3) * dti)
-        Ja = Ja.at[6:9, 0:3].set(-rot_dt @ a_skew)
-        Jb = jnp.zeros((9, 6), jnp.float64)
-        Jb = Jb.at[0:3, 0:3].set(right_jac * dti)
-        Jb = Jb.at[3:6, 3:6].set(rot_dt2_half)
-        Jb = Jb.at[6:9, 3:6].set(rot_dt)
+        dti32 = dti.astype(f32)
+        Ja = jnp.eye(9, dtype=f32)
+        Ja = Ja.at[0:3, 0:3].set(rot_inc.T.astype(f32))
+        Ja = Ja.at[3:6, 0:3].set((-rot_dt2_half @ a_skew).astype(f32))
+        Ja = Ja.at[3:6, 6:9].set(jnp.eye(3, dtype=f32) * dti32)
+        Ja = Ja.at[6:9, 0:3].set((-rot_dt @ a_skew).astype(f32))
+        Jb = jnp.zeros((9, 6), f32)
+        Jb = Jb.at[0:3, 0:3].set((right_jac * dti).astype(f32))
+        Jb = Jb.at[3:6, 3:6].set(rot_dt2_half.astype(f32))
+        Jb = Jb.at[6:9, 3:6].set(rot_dt.astype(f32))
 
-        cov99 = Ja @ f.cov[0:9, 0:9] @ Ja.T + Jb @ noise_meas @ Jb.T
-        cov = f.cov.at[0:9, 0:9].set(cov99)
-        cov = cov.at[9:15, 9:15].set(f.cov[9:15, 9:15] + noise_walk * dti)
+        cov99 = Ja @ cov[0:9, 0:9] @ Ja.T + Jb @ nm32 @ Jb.T
+        cov_n = cov.at[0:9, 0:9].set(cov99)
+        cov_n = cov_n.at[9:15, 9:15].set(cov[9:15, 9:15] + nw32 * dti32)
 
         p_delta = f.p_delta + f.v_delta * dti + rot_dt2_half @ a
         v_delta = f.v_delta + rot_dt @ a
@@ -102,14 +111,17 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
         fn = PreintFactor(
             R_delta=R_delta, p_delta=p_delta, v_delta=v_delta,
             R_bg=R_bg, p_bg=p_bg, p_ba=p_ba, v_bg=v_bg, v_ba=v_ba,
-            dtime=f.dtime + dti, cov=cov, cov_inv=f.cov_inv,
+            dtime=f.dtime + dti, cov=f.cov, cov_inv=f.cov_inv,
             dbg=f.dbg, dba=f.dba, dbg_buf=f.dbg_buf, dba_buf=f.dba_buf,
         )
         f_out = jax.tree_util.tree_map(lambda old, new: jnp.where(vld, new, old), f, fn)
-        return f_out, None
+        cov = jnp.where(vld, cov_n, cov)
+        return (f_out, cov), None
 
-    f, _ = jax.lax.scan(body, f0, (gyr_mid, acc_mid, dt, valid))
-    return f._replace(cov_inv=inv_psd(f.cov))
+    (f, cov32), _ = jax.lax.scan(
+        body, (f0, jnp.zeros((DIM, DIM), f32)), (gyr_mid, acc_mid, dt, valid))
+    cov = cov32.astype(jnp.float64)
+    return f._replace(cov=cov, cov_inv=inv_psd(cov))
 
 
 def factor_from_block(imu: ImuBlock, bg, ba, noise_meas, noise_walk, scale_gravity) -> PreintFactor:

@@ -592,30 +592,38 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     rel = flat_w - centers_pt
     wc_all = _seg_cluster(slots, rel, flat_v, C)
 
-    tot = cl.add(fix, wc_all)
-    cov_add = m.cov_add
+    leaf = (m.keys != vh.EMPTY_KEY) & (m.state == 0)
+    active = leaf & (wc_all.N > 0)
 
-    lv_slot, centers_slot, _ = slot_meta(m, jnp.arange(C), params)
-    occupied = m.keys != vh.EMPTY_KEY
-    leaf = occupied & (m.state == 0)
-    has_win = wc_all.N > 0
-    active = leaf & has_win
-
-    eig_w, eig_V = eigh3(cl.cov(tot))
-
-    # plane_update cadence (octree.cpp:441-446)
-    upd = (
-        active & m.is_plane & (fix.N < params.max_points)
-        & ((tot.N - m.last_num >= 5) | (m.last_num <= 10))
+    # plane_update cadence (octree.cpp:441-446), COMPACTED to the leaves the
+    # window touches (same rationale as recut: the full-capacity
+    # _plane_update + eigh3 dominated margi)
+    rows = vh.compact_indices(active, ms.active_cap, C)
+    ok = rows < C
+    rr = jnp.minimum(rows, C - 1)
+    _, centers_a, _ = slot_meta(m, rr, params)
+    tot_a = cl.Cluster(P=fix.P[rr] + wc_all.P[rr], v=fix.v[rr] + wc_all.v[rr],
+                       N=fix.N[rr] + wc_all.N[rr])
+    eig_w, eig_V = eigh3(cl.cov(tot_a))
+    last_a = m.last_num[rr]
+    upd_a = (
+        ok & m.is_plane[rr] & (fix.N[rr] < params.max_points)
+        & ((tot_a.N - last_a >= 5) | (last_a <= 10))
     )
-    pc, pn, pv, pr = _plane_update(tot, cov_add, eig_w, eig_V, centers_slot)
+    pc, pn, pv, pr = _plane_update(tot_a, m.cov_add[rr], eig_w, eig_V, centers_a)
+    tgt_upd = jnp.where(upd_a, rows, C)
+    tgt_act = jnp.where(ok, rows, C)
     m = m._replace(
-        plane_center=jnp.where(upd[:, None], pc.astype(jnp.float32), m.plane_center),
-        plane_normal=jnp.where(upd[:, None], pn.astype(jnp.float32), m.plane_normal),
-        plane_var=jnp.where(upd[:, None, None], pv.astype(jnp.float32), m.plane_var),
-        plane_radius=jnp.where(upd, pr.astype(jnp.float32), m.plane_radius),
-        last_num=jnp.where(upd, tot.N, m.last_num),
-        jour=jnp.where(active, jour, m.jour),
+        plane_center=m.plane_center.at[tgt_upd].set(
+            pc.astype(jnp.float32), mode="drop"),
+        plane_normal=m.plane_normal.at[tgt_upd].set(
+            pn.astype(jnp.float32), mode="drop"),
+        plane_var=m.plane_var.at[tgt_upd].set(pv.astype(jnp.float32), mode="drop"),
+        plane_radius=m.plane_radius.at[tgt_upd].set(
+            pr.astype(jnp.float32), mode="drop"),
+        last_num=m.last_num.at[tgt_upd].set(
+            tot_a.N.astype(jnp.float32), mode="drop"),
+        jour=m.jour.at[tgt_act].set(jour, mode="drop"),
     )
 
     # ---- absorb marginalized frames into the pool / fixed stats ----
