@@ -37,67 +37,80 @@ def _propagate(
     cov_gyr, cov_acc, cov_bg, cov_ba,
     scale_gravity, end_minus_last_offt,
 ):
-    """Scan over IMU intervals. Returns terminal (R, p, v, cov) extrapolated
-    to scan end and the pose table (imu_poses analog) at interval starts.
-    States f64; the covariance propagates in f32 (f64 15x15 matmuls are
-    emulated on TPU and dominated the scan) and is cast back on return.
-    Shapes: [K] interval arrays, masked by `valid`.
-    """
+    """Propagation over IMU intervals in LOG depth. Returns terminal
+    (R, p, v, cov) extrapolated to scan end and the pose table (imu_poses
+    analog) at interval starts.
+
+    A sequential lax.scan over the ~100 intervals cost ~25 ms/scan on TPU
+    (the 15x15 body is far too small to hide per-iteration latency), so the
+    recursion is reformulated associatively: rotations compose by matmul
+    prefix products, p/v are cumulative sums once the rotation prefixes are
+    known, and the covariance recursion cov' = F cov F^T + Q composes as
+    (F2 F1, F2 Q1 F2^T + Q2) — all via jax.lax.associative_scan (7 levels of
+    batched matmuls). Padding intervals have dt == 0 and are exact identity
+    maps, so no masking is needed. States f64; covariance f32 (it only
+    weights the IEKF update; f64 matmuls are emulated on TPU)."""
     f32 = jnp.float32
-    cg32, ca32 = jnp.diag(cov_gyr).astype(f32), jnp.diag(cov_acc).astype(f32)
-    cbg32, cba32 = jnp.diag(cov_bg).astype(f32), jnp.diag(cov_ba).astype(f32)
+    dtc = jnp.where(valid, dt, 0.0)
+    w = avr_gyr - bg[None, :]                       # (K, 3)
+    a = avr_acc * scale_gravity - ba[None, :]       # (K, 3)
+    E = so3.exp(w * dtc[:, None])                   # (K, 3, 3)
 
-    def body(carry, inp):
-        R, p, v, cov = carry                           # cov: (15, 15) f32
-        w_avr, a_avr, dti, vld = inp
-        w = w_avr - bg
-        a = a_avr * scale_gravity - ba
-        acc_w = R @ a + g
+    def mm(x, y):
+        return jnp.einsum("...ij,...jk->...ik", x, y)
 
-        # pose-table entry BEFORE integrating this interval (imu_ekf.cpp:63)
-        entry = (R, p, v, w, acc_w)
+    P_incl = jax.lax.associative_scan(mm, E)        # E0 @ ... @ Ei
+    R_incl = jnp.einsum("ij,kjl->kil", R0, P_incl)
+    R_excl = jnp.concatenate([R0[None], R_incl[:-1]], axis=0)
 
-        dti32 = dti.astype(f32)
-        Rf = R.astype(f32)
-        F = jnp.eye(DIM, dtype=f32)
-        F = F.at[0:3, 0:3].set(so3.exp(-w * dti).astype(f32))
-        F = F.at[0:3, 9:12].set(-jnp.eye(3, dtype=f32) * dti32)
-        F = F.at[3:6, 6:9].set(jnp.eye(3, dtype=f32) * dti32)
-        F = F.at[6:9, 0:3].set((-R @ so3.hat(a)).astype(f32) * dti32)
-        F = F.at[6:9, 12:15].set(-Rf * dti32)
-        Q = jnp.zeros((DIM, DIM), f32)
-        Q = Q.at[0:3, 0:3].set(cg32 * dti32 * dti32)
-        Q = Q.at[6:9, 6:9].set(Rf @ ca32 @ Rf.T * dti32 * dti32)
-        Q = Q.at[9:12, 9:12].set(cbg32 * dti32 * dti32)
-        Q = Q.at[12:15, 12:15].set(cba32 * dti32 * dti32)
-        cov_n = F @ cov @ F.T + Q
+    acc_w = jnp.einsum("kij,kj->ki", R_excl, a) + g[None, :]
+    dv = acc_w * dtc[:, None]
+    v_incl = v0[None, :] + jnp.cumsum(dv, axis=0)
+    v_excl = jnp.concatenate([v0[None], v_incl[:-1]], axis=0)
+    dp = v_excl * dtc[:, None] + 0.5 * acc_w * (dtc * dtc)[:, None]
+    p_incl = p0[None, :] + jnp.cumsum(dp, axis=0)
+    p_excl = jnp.concatenate([p0[None], p_incl[:-1]], axis=0)
 
-        p_n = p + v * dti + 0.5 * acc_w * dti * dti
-        v_n = v + acc_w * dti
-        R_n = R @ so3.exp(w * dti)
+    K = dtc.shape[0]
+    dt32 = dtc.astype(f32)[:, None, None]
+    Rf = R_excl.astype(f32)
+    I3 = jnp.eye(3, dtype=f32)
+    F = jnp.broadcast_to(jnp.eye(DIM, dtype=f32), (K, DIM, DIM))
+    F = F.at[:, 0:3, 0:3].set(so3.exp(-w * dtc[:, None]).astype(f32))
+    F = F.at[:, 0:3, 9:12].set(-I3 * dt32)
+    F = F.at[:, 3:6, 6:9].set(I3 * dt32)
+    F = F.at[:, 6:9, 0:3].set((-jnp.einsum(
+        "kij,kjl->kil", R_excl, so3.hat(a))).astype(f32) * dt32)
+    F = F.at[:, 6:9, 12:15].set(-Rf * dt32)
+    dt322 = dt32 * dt32
+    Q = jnp.zeros((K, DIM, DIM), f32)
+    Q = Q.at[:, 0:3, 0:3].set(jnp.diag(cov_gyr).astype(f32) * dt322)
+    Q = Q.at[:, 6:9, 6:9].set(
+        jnp.einsum("kij,jl,kml->kim", Rf, jnp.diag(cov_acc).astype(f32), Rf)
+        * dt322)
+    Q = Q.at[:, 9:12, 9:12].set(jnp.diag(cov_bg).astype(f32) * dt322)
+    Q = Q.at[:, 12:15, 12:15].set(jnp.diag(cov_ba).astype(f32) * dt322)
 
-        m = vld.astype(R.dtype)
-        R = jnp.where(vld, R_n, R)
-        p = p * (1 - m) + p_n * m
-        v = v * (1 - m) + v_n * m
-        cov = jnp.where(vld, cov_n, cov)
-        return (R, p, v, cov), entry + (w, acc_w)
+    def comp(c1, c2):  # apply c1 first, then c2
+        F1, Q1 = c1
+        F2, Q2 = c2
+        return mm(F2, F1), mm(mm(F2, Q1), jnp.swapaxes(F2, -1, -2)) + Q2
 
-    (R, p, v, cov), poses = jax.lax.scan(
-        body, (R0, p0, v0, cov0.astype(f32)), (avr_gyr, avr_acc, dt, valid)
-    )
-    cov = cov.astype(cov0.dtype)
+    Fc, Qc = jax.lax.associative_scan(comp, (F, Q))
+    cov = (mm(mm(Fc[-1], cov0.astype(f32)), Fc[-1].T) + Qc[-1]).astype(cov0.dtype)
     cov = 0.5 * (cov + cov.T)   # exact symmetry for downstream Cholesky
+
+    R, p, v = R_incl[-1], p_incl[-1], v_incl[-1]
     # terminal extrapolation to scan end (imu_ekf.cpp:88-94): signed dt from
     # the last IMU stamp to pcl_end_time, using the final interval's w/a.
     last_idx = jnp.maximum(jnp.sum(valid) - 1, 0)
-    w_last = poses[5][last_idx]
-    a_last = poses[6][last_idx]
+    w_last = w[last_idx]
+    a_last = acc_w[last_idx]
     dte = end_minus_last_offt
     v_end = v + a_last * dte
     R_end = R @ so3.exp(w_last * dte)
     p_end = p + v * dte + 0.5 * a_last * dte * dte
-    pose_table = tuple(poses[:5])  # (R[K,3,3], p[K,3], v[K,3], w[K,3], acc[K,3])
+    pose_table = (R_excl, p_excl, v_excl, w, acc_w)
     return R_end, p_end, v_end, cov, pose_table
 
 

@@ -57,71 +57,89 @@ def _zero(dtype=jnp.float64):
 
 @jax.jit
 def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, scale_gravity):
-    """lax.scan translation of add_imu (cpp:57-95).
+    """add_imu (cpp:57-95) reformulated in LOG depth (see ekf._propagate for
+    the rationale — a sequential scan over ~100 samples cost ~40 ms/scan on
+    TPU). Rotation increments compose by matmul prefix products; the delta
+    p/v become cumulative sums once the DeltaR prefixes are known; the bias
+    Jacobian recursion J' = Ja J + B (J: 9x6 over [R_bg; p_bg|p_ba;
+    v_bg|v_ba], J0 = 0) and the covariance recursion cov' = Ja cov Ja^T + Q
+    compose associatively, so three jax.lax.associative_scan calls replace
+    the 128-step chain. Padding samples have dt == 0 and are exact identity
+    maps.
 
     gyr_mid/acc_mid: (K, 3) midpoint samples; dt: (K,); valid: (K,) mask.
     bg/ba: linearization-point biases. noise_meas/noise_walk: (6, 6).
     """
-    f0 = _zero()
     f32 = jnp.float32
-    # Covariance propagates in f32: f64 matmuls are EMULATED on TPU and the
-    # 9x9/9x6 products per scan step dominated build_factor (~50 ms/scan);
-    # the covariance only weights the BA residuals, so f32 is ample. Delta
-    # states and bias Jacobians (used in residuals) stay f64.
-    nm32 = noise_meas.astype(f32)
-    nw32 = noise_walk.astype(f32)
+    dtc = jnp.where(valid, dt, 0.0)
+    K = dtc.shape[0]
+    w = gyr_mid - bg[None, :]
+    a = acc_mid * scale_gravity - ba[None, :]
+    E = so3.exp(w * dtc[:, None])                    # (K, 3, 3) rot_inc
+    jrk = so3.jr(w * dtc[:, None])                   # (K, 3, 3) right Jacobian
+    a_skew = so3.hat(a)
 
-    def body(carry, inp):
-        f, cov = carry                                 # cov: (15, 15) f32
-        gm, am, dti, vld = inp
-        w = gm - bg
-        a = am * scale_gravity - ba
+    def mm(x, y):
+        return jnp.einsum("...ij,...jk->...ik", x, y)
 
-        rot_inc = so3.exp(w * dti)
-        right_jac = so3.jr(w * dti)
-        rot_dt = dti * f.R_delta
-        rot_dt2_half = 0.5 * dti * dti * f.R_delta
-        a_skew = so3.hat(a)
+    Rd_incl = jax.lax.associative_scan(mm, E)        # DeltaR after step i
+    eye3 = jnp.eye(3, dtype=E.dtype)
+    Rd_excl = jnp.concatenate([eye3[None], Rd_incl[:-1]], axis=0)
 
-        p_ba = f.p_ba + f.v_ba * dti - rot_dt2_half
-        p_bg = f.p_bg + f.v_bg * dti - rot_dt2_half @ a_skew @ f.R_bg
-        v_ba = f.v_ba - rot_dt
-        v_bg = f.v_bg - rot_dt @ a_skew @ f.R_bg
-        R_bg = rot_inc.T @ f.R_bg - right_jac * dti
+    rot_dt = dtc[:, None, None] * Rd_excl
+    rot_dt2_half = (0.5 * dtc * dtc)[:, None, None] * Rd_excl
 
-        dti32 = dti.astype(f32)
-        Ja = jnp.eye(9, dtype=f32)
-        Ja = Ja.at[0:3, 0:3].set(rot_inc.T.astype(f32))
-        Ja = Ja.at[3:6, 0:3].set((-rot_dt2_half @ a_skew).astype(f32))
-        Ja = Ja.at[3:6, 6:9].set(jnp.eye(3, dtype=f32) * dti32)
-        Ja = Ja.at[6:9, 0:3].set((-rot_dt @ a_skew).astype(f32))
-        Jb = jnp.zeros((9, 6), f32)
-        Jb = Jb.at[0:3, 0:3].set((right_jac * dti).astype(f32))
-        Jb = Jb.at[3:6, 3:6].set(rot_dt2_half.astype(f32))
-        Jb = Jb.at[6:9, 3:6].set(rot_dt.astype(f32))
+    dv = jnp.einsum("kij,kj->ki", rot_dt, a)
+    v_incl = jnp.cumsum(dv, axis=0)
+    v_excl = jnp.concatenate([jnp.zeros((1, 3), dv.dtype), v_incl[:-1]], axis=0)
+    dp = v_excl * dtc[:, None] + jnp.einsum("kij,kj->ki", rot_dt2_half, a)
+    p_incl = jnp.cumsum(dp, axis=0)
 
-        cov99 = Ja @ cov[0:9, 0:9] @ Ja.T + Jb @ nm32 @ Jb.T
-        cov_n = cov.at[0:9, 0:9].set(cov99)
-        cov_n = cov_n.at[9:15, 9:15].set(cov[9:15, 9:15] + nw32 * dti32)
+    # bias Jacobian: X' = Ja X + B with X0 = 0  =>  X_final = composed B
+    Ja = jnp.broadcast_to(jnp.eye(9, dtype=E.dtype), (K, 9, 9))
+    Ja = Ja.at[:, 0:3, 0:3].set(jnp.swapaxes(E, -1, -2))
+    Ja = Ja.at[:, 3:6, 0:3].set(-mm(rot_dt2_half, a_skew))
+    Ja = Ja.at[:, 3:6, 6:9].set(eye3[None] * dtc[:, None, None])
+    Ja = Ja.at[:, 6:9, 0:3].set(-mm(rot_dt, a_skew))
+    B = jnp.zeros((K, 9, 6), E.dtype)
+    B = B.at[:, 0:3, 0:3].set(-jrk * dtc[:, None, None])
+    B = B.at[:, 3:6, 3:6].set(-rot_dt2_half)
+    B = B.at[:, 6:9, 3:6].set(-rot_dt)
 
-        p_delta = f.p_delta + f.v_delta * dti + rot_dt2_half @ a
-        v_delta = f.v_delta + rot_dt @ a
-        R_delta = f.R_delta @ rot_inc
+    def aff(c1, c2):  # apply c1 first, then c2
+        A1, B1 = c1
+        A2, B2 = c2
+        return mm(A2, A1), mm(A2, B1) + B2
 
-        fn = PreintFactor(
-            R_delta=R_delta, p_delta=p_delta, v_delta=v_delta,
-            R_bg=R_bg, p_bg=p_bg, p_ba=p_ba, v_bg=v_bg, v_ba=v_ba,
-            dtime=f.dtime + dti, cov=f.cov, cov_inv=f.cov_inv,
-            dbg=f.dbg, dba=f.dba, dbg_buf=f.dbg_buf, dba_buf=f.dba_buf,
-        )
-        f_out = jax.tree_util.tree_map(lambda old, new: jnp.where(vld, new, old), f, fn)
-        cov = jnp.where(vld, cov_n, cov)
-        return (f_out, cov), None
+    _, Bc = jax.lax.associative_scan(aff, (Ja, B))
+    J = Bc[-1]
 
-    (f, cov32), _ = jax.lax.scan(
-        body, (f0, jnp.zeros((DIM, DIM), f32)), (gyr_mid, acc_mid, dt, valid))
-    cov = cov32.astype(jnp.float64)
-    return f._replace(cov=cov, cov_inv=inv_psd(cov))
+    # covariance: cov99' = Ja cov99 Ja^T + Jb nm Jb^T, composed in f32 (the
+    # covariance only weights the BA residuals; f64 matmuls are emulated)
+    Jb = jnp.zeros((K, 9, 6), f32)
+    Jb = Jb.at[:, 0:3, 0:3].set((jrk * dtc[:, None, None]).astype(f32))
+    Jb = Jb.at[:, 3:6, 3:6].set(rot_dt2_half.astype(f32))
+    Jb = Jb.at[:, 6:9, 3:6].set(rot_dt.astype(f32))
+    Qk = mm(mm(Jb, noise_meas.astype(f32)[None]), jnp.swapaxes(Jb, -1, -2))
+
+    def cov_comp(c1, c2):
+        F1, Q1 = c1
+        F2, Q2 = c2
+        return mm(F2, F1), mm(mm(F2, Q1), jnp.swapaxes(F2, -1, -2)) + Q2
+
+    _, Qc = jax.lax.associative_scan(cov_comp, (Ja.astype(f32), Qk))
+    dtime = jnp.sum(dtc)
+    cov = jnp.zeros((DIM, DIM), jnp.float64)
+    cov = cov.at[0:9, 0:9].set(Qc[-1].astype(jnp.float64))
+    cov = cov.at[9:15, 9:15].set(noise_walk * dtime)
+
+    f = _zero()._replace(
+        R_delta=Rd_incl[-1], p_delta=p_incl[-1], v_delta=v_incl[-1],
+        R_bg=J[0:3, 0:3], p_bg=J[3:6, 0:3], p_ba=J[3:6, 3:6],
+        v_bg=J[6:9, 0:3], v_ba=J[6:9, 3:6],
+        dtime=dtime, cov=cov,
+    )
+    return f._replace(cov_inv=inv_psd(cov))
 
 
 def factor_from_block(imu: ImuBlock, bg, ba, noise_meas, noise_walk, scale_gravity) -> PreintFactor:

@@ -304,14 +304,6 @@ def _bf_var(var, rel):
     return jnp.concatenate([top, bot], axis=-2)  # (..., 9, 9)
 
 
-def _seg_bf(slots, rel, var, valid, C):
-    ok = valid & (slots >= 0)
-    sid = jnp.where(ok, slots, C)
-    B = _bf_var(var, rel) * ok[..., None, None].astype(rel.dtype)
-    out = jax.ops.segment_sum(B.reshape(-1, 81), sid.reshape(-1), num_segments=C + 1)[:C]
-    return out.reshape(C, 9, 9)
-
-
 def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, jour):
     """Redistribute fixed mass after subdivisions: reassign every pool point
     (creating missing children — fix_divide semantics, octree.cpp:257-277),
@@ -351,8 +343,11 @@ def accumulate_cov(m: VoxelMap, slots, pts_w, var_w, valid, params: MapParams,
     flat_v = valid.reshape(-1)
     _, centers, _ = slot_meta(m, flat_s, params)
     rel = flat_p - centers
-    bf = _seg_bf(flat_s, rel, flat_var, flat_v, ms.capacity)
-    return m._replace(cov_add=m.cov_add + bf)
+    ok = flat_v & (flat_s >= 0)
+    B = (_bf_var(flat_var, rel) * ok[:, None, None].astype(rel.dtype)
+         ).astype(m.cov_add.dtype)
+    tgt = jnp.where(ok, flat_s, ms.capacity)  # OOB rows dropped
+    return m._replace(cov_add=m.cov_add.at[tgt].add(B, mode="drop"))
 
 
 def _plane_judge(eig, level, params: MapParams):
