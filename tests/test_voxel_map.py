@@ -154,6 +154,35 @@ class TestRecut:
         dots = np.abs(normals @ [0, 0, 1])
         assert (dots > 0.99).all()
 
+    def test_cached_recut_matches_fresh(self):
+        """The cached-slot fast path must agree with the full descent: same
+        slot assignment and identical map plane state, including for points
+        that MOVED to another voxel (cache miss) and a fresh -1 row."""
+        rng = np.random.default_rng(11)
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        pts = self._plane_cloud(3000, [0, 0, 1], 0.5)
+        win = jnp.asarray(pts, jnp.float32)[None]
+        valid = jnp.ones((1, pts.shape[0]), bool)
+        m, pool, slots, lvs = vm.recut(m, pool, win, valid, par, MS, 1,
+                                       jnp.asarray(0.0, jnp.float32))
+        # move 5% of points far enough to change voxel; invalidate 10% of cache
+        moved = rng.random(pts.shape[0]) < 0.05
+        pts2 = pts + moved[:, None] * 4.0
+        win2 = jnp.asarray(pts2, jnp.float32)[None]
+        hint = np.asarray(slots).copy()
+        hint[0, rng.random(pts.shape[0]) < 0.1] = -1
+        m_c, _, slots_c, lvs_c = vm.recut(m, pool, win2, valid, par, MS, 1,
+                                          jnp.asarray(0.0, jnp.float32),
+                                          cached=jnp.asarray(hint))
+        m_f, _, slots_f, lvs_f = vm.recut(m, pool, win2, valid, par, MS, 1,
+                                          jnp.asarray(0.0, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(slots_c), np.asarray(slots_f))
+        np.testing.assert_array_equal(np.asarray(lvs_c), np.asarray(lvs_f))
+        np.testing.assert_array_equal(np.asarray(m_c.is_plane), np.asarray(m_f.is_plane))
+        np.testing.assert_allclose(np.asarray(m_c.eig_val), np.asarray(m_f.eig_val))
+
     def test_subdivision_on_corner(self):
         """Two orthogonal planes through one voxel: root is not planar, must
         subdivide, children become planar."""

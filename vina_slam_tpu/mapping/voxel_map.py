@@ -53,6 +53,7 @@ class MapStatic(NamedTuple):
     max_new: int = 4096       # new hash entries per insert wave
     pool_capacity: int = 1 << 20
     active_cap: int = 1 << 14  # max leaves refit per recut wave (compaction)
+    refind_cap: int = 1 << 14  # max cache-miss points re-descended per recut
 
 
 class MapParams(NamedTuple):
@@ -361,8 +362,13 @@ def _plane_judge(eig, level, params: MapParams):
 
 @partial(jax.jit, static_argnames=("ms", "win"))
 def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
-          ms: MapStatic, win: int, jour):
+          ms: MapStatic, win: int, jour, cached=None):
     """Re-fit planes / subdivide after pose updates.
+
+    cached: optional (W, Np) i32 leaf slots from the previous recut (-1 =
+    unknown, e.g. the freshly pushed frame). When given, wave 1 verifies
+    the cached assignment instead of re-probing every point (see the fast
+    path below). Callers must invalidate the cache after evict().
 
     win_pts_w: (W, Np, 3) current-pose WORLD positions of the window points
     (the caller transforms body buffers by the latest poses — this makes the
@@ -379,8 +385,7 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     flat_w = win_pts_w.reshape(-1, 3)
     flat_v = win_valid.reshape(-1)
 
-    def wave_fn(m):
-        m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
+    def refit(m, slots):
         lv_pt, centers, _ = slot_meta(m, slots, params)
         rel = flat_w - centers
         wc = _seg_cluster(slots, rel, flat_v, C)
@@ -423,9 +428,43 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         # max_new candidates per pass; stragglers get their children next
         # wave; slot==-2 probe-window-full points are dropped, not retried)
         unfinished = jnp.any(want_split_a) | jnp.any(flat_v & (slots == -1))
+        return m, lv_pt, unfinished
+
+    def wave_fn(m):
+        m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
+        m, lv_pt, unfinished = refit(m, slots)
         return m, slots, lv_pt, unfinished
 
-    m, slots, levels_pt, unfinished = wave_fn(m)
+    if cached is None:
+        m, slots, levels_pt, unfinished = wave_fn(m)
+    else:
+        # Cached-slot fast path: most window points keep the same leaf from
+        # scan to scan, so wave 1 VERIFIES the cached assignment (one gather
+        # + key compare, ~5x cheaper than the 3-level probe descent) and
+        # fully re-descends only the misses, compacted to refind_cap (a new
+        # frame's worth plus slack). Overflow misses keep slot -1 this wave
+        # and are picked up by the straggler wave below with a full descent.
+        flat_c = cached.reshape(-1)
+        sc = jnp.maximum(flat_c, 0)
+        lv_c, coords_c = vh.decode(m.keys[sc])
+        edge_c = params.voxel_size / (2.0 ** jnp.maximum(lv_c, 0).astype(jnp.float32))
+        my_coords = vh.coords_of(flat_w, edge_c[:, None])
+        ok_cached = (
+            flat_v & (flat_c >= 0)
+            & (m.keys[sc] != vh.EMPTY_KEY)
+            & (m.state[sc] == 0)
+            & jnp.all(my_coords == coords_c, axis=-1)
+        )
+        need = flat_v & ~ok_cached
+        rows = vh.compact_indices(need, ms.refind_cap, -1)
+        sub_valid = rows >= 0
+        sub_pts = flat_w[jnp.maximum(rows, 0)]
+        m, sub_slots = assign_insert(m, sub_pts, sub_valid, params, ms, jour,
+                                     create_roots=True)
+        slots = jnp.where(ok_cached, flat_c, -1)
+        tgt = jnp.where(sub_valid, rows, flat_c.shape[0])
+        slots = slots.at[tgt].set(sub_slots, mode="drop")
+        m, levels_pt, unfinished = refit(m, slots)
 
     # Later waves run only while the previous one split a node or left
     # stragglers; a while_loop (not a chain of conds) because XLA aliases

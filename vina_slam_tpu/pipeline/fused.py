@@ -44,6 +44,7 @@ class SteadyState(NamedTuple):
     win_pts: jnp.ndarray           # (W, Np, 3) f32 body
     win_var: jnp.ndarray           # (W, Np, 3, 3) f32 world var @ insertion
     win_valid: jnp.ndarray         # (W, Np)
+    win_slots: jnp.ndarray         # (W, Np) i32 cached leaf slots (-1 unknown)
     win_count: jnp.ndarray         # () i32
     scan_idx: jnp.ndarray          # () i32 global scan counter
     degrade_cnt: jnp.ndarray       # () i32
@@ -58,6 +59,7 @@ def make_steady_state(m, pool, x, xs, pre_f, win_pts, win_var, win_valid,
     return SteadyState(
         m=m, pool=pool, x=x, xs=xs, pre_f=pre_f,
         win_pts=win_pts, win_var=win_var, win_valid=win_valid,
+        win_slots=jnp.full(win_valid.shape, -1, jnp.int32),
         win_count=jnp.asarray(win_count, jnp.int32),
         scan_idx=jnp.asarray(scan_idx, jnp.int32),
         degrade_cnt=jnp.asarray(0, jnp.int32),
@@ -162,7 +164,11 @@ def steady_step(
     p32 = xs.p.astype(jnp.float32)
     win_w = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
     win_w = jnp.where(win_valid[..., None], win_w, 1e7)
-    m, pool0, slots, _ = vm.recut(st.m, st.pool, win_w, win_valid, params, ms, W, st.jour)
+    win_slots_hint = _set_frame(st.win_slots, i,
+                                jnp.full(st.win_slots.shape[1:], -1, jnp.int32))
+    m, pool0, slots, _ = vm.recut(st.m, st.pool, win_w, win_valid, params, ms,
+                                  W, st.jour, cached=win_slots_hint)
+    win_slots = slots
     # insertion-time Bf covariance accumulation for the NEW frame only
     # (OctoTree::push semantics, octree.cpp:172-176)
     new_row = jnp.minimum(i, W - 1)
@@ -176,7 +182,7 @@ def steady_step(
     full = win_count >= W
 
     def full_branch(op):
-        m, pool, xs, pre_f, win_pts, win_var, win_valid, x, jour = op
+        m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x, jour = op
         w0 = ba.WindowPoses(R=xs.R, p=xs.p, v=xs.v, bg=xs.bg, ba=xs.ba,
                             g=xs.g[W - 1])
         if if_ba:
@@ -200,16 +206,17 @@ def steady_step(
         win_pts = jnp.roll(win_pts, -1, axis=0)
         win_var = jnp.roll(win_var, -1, axis=0)
         win_valid = jnp.roll(win_valid, -1, axis=0).at[W - 1].set(False)
+        win_slots = jnp.roll(win_slots, -1, axis=0)
         xs = NavState(*(jnp.roll(f, -1, axis=0) for f in xs))
         pre_f = jax.tree_util.tree_map(lambda f: jnp.roll(f, -1, axis=0), pre_f)
-        return m, pool, xs, pre_f, win_pts, win_var, win_valid, x, jour
+        return m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x, jour
 
     def not_full(op):
         return op
 
-    op = (m, pool0, xs, pre_f, win_pts, win_var, win_valid, x, st.jour)
-    m, pool, xs, pre_f, win_pts, win_var, win_valid, x, jour = jax.lax.cond(
-        full, full_branch, not_full, op)
+    op = (m, pool0, xs, pre_f, win_pts, win_var, win_valid, win_slots, x, st.jour)
+    (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x,
+     jour) = jax.lax.cond(full, full_branch, not_full, op)
     win_count = jnp.where(full, win_count - 1, win_count)
 
     # ---------------- journey / eviction bookkeeping ----------------
@@ -228,9 +235,11 @@ def steady_step(
         mm, pp = vm.evict(mm, pp, jour, params, ms)
         return mm, pp, jnp.asarray(True)
 
-    m, pool, _ = jax.lax.while_loop(
+    m, pool, evicted = jax.lax.while_loop(
         lambda c: ~c[2] & move & (jour > 700.0), evict_body,
         (m, pool, jnp.asarray(False)))
+    # eviction rebuilds the hash table: every cached slot is stale
+    win_slots = jnp.where(evicted, -1, win_slots)
 
     # ---------------- trajectory ring ----------------
     row = jnp.concatenate([
@@ -253,6 +262,7 @@ def steady_step(
     st2 = SteadyState(
         m=m, pool=pool, x=x, xs=xs, pre_f=pre_f,
         win_pts=win_pts, win_var=win_var, win_valid=win_valid,
+        win_slots=win_slots,
         win_count=win_count.astype(jnp.int32), scan_idx=scan_idx,
         degrade_cnt=degrade_cnt, jour=jour, last_pos=last_pos,
         traj=traj, traj_head=traj_head,
