@@ -661,15 +661,23 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     )
 
     # ---- absorb marginalized frames into the pool / fixed stats ----
-    marg_mask = (jnp.arange(W)[:, None] < mgsize) & win_valid  # (W, Np)
-    marg_flat = marg_mask.reshape(-1)
-    slot_unsealed = (slots >= 0) & (fix.N[jnp.maximum(slots, 0)] < params.max_points)
-    append = marg_flat & slot_unsealed
+    # mgsize is static, so the marginalized frames are a PREFIX SLICE of the
+    # flattened window — all absorb work (segment sums, the pool ring
+    # scatter, the position cumsum) runs on mgsize*Np points, not W*Np.
+    nm = mgsize * Np
+    slots_m = slots[:nm]
+    rel_m = rel[:nm]
+    w_m = flat_w[:nm]
+    var_m = flat_var[:nm]
+    slot_unsealed = (slots_m >= 0) & (
+        fix.N[jnp.maximum(slots_m, 0)] < params.max_points)
+    append = flat_v[:nm] & slot_unsealed
 
-    # frame-0 contribution per slot (for the updated fixed stats); the
-    # points' Bf covariance contributions are ALREADY in cov_add (added once
-    # at insertion, accumulate_cov) — the reference never re-adds either
-    wc_m = _seg_cluster(slots, rel, append, C)
+    # marginalized-frame contribution per slot (for the updated fixed
+    # stats); the points' Bf covariance contributions are ALREADY in cov_add
+    # (added once at insertion, accumulate_cov) — the reference never
+    # re-adds either
+    wc_m = _seg_cluster(slots_m, rel_m, append, C)
     fix_new = cl.add(fix, wc_m)
 
     newly_sealed = leaf & (fix_new.N >= params.max_points) & ~m.sealed
@@ -686,10 +694,10 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     dst = (pool.head + pos_in_batch) % F
     dst = jnp.where(append, dst, F)  # drop-mode
     pool = pool._replace(
-        pts=pool.pts.at[dst].set(flat_w, mode="drop"),
-        var=pool.var.at[dst].set(flat_var, mode="drop"),
+        pts=pool.pts.at[dst].set(w_m, mode="drop"),
+        var=pool.var.at[dst].set(var_m, mode="drop"),
         valid=pool.valid.at[dst].set(True, mode="drop"),
-        slot=pool.slot.at[dst].set(slots, mode="drop"),
+        slot=pool.slot.at[dst].set(slots_m, mode="drop"),
         head=(pool.head + n_app) % F,
     )
     # drop pool points of sealed voxels (reference clears point_fix when full,

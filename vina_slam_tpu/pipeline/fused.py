@@ -115,11 +115,18 @@ def steady_step(
     # ---------------- downsample (with half-size retry) ----------------
     dpts, dvalid, n_ds = ds_ops.downsample_mean(
         deskewed, pts_valid, jnp.asarray(down_size, jnp.float32), npad_map)
-    dpts2, dvalid2, _ = ds_ops.downsample_mean(
-        deskewed, pts_valid, jnp.asarray(down_size / 2, jnp.float32), npad_map)
-    few = n_ds < 2000
-    dpts = jnp.where(few, dpts2, dpts)
-    dvalid = jnp.where(few, dvalid2, dvalid)
+
+    # half-size retry only when the scan came out sparse — a 0/1-iteration
+    # while_loop so the second downsample doesn't execute every scan
+    def ds_retry(carry):
+        dp2, dv2, _ = ds_ops.downsample_mean(
+            deskewed, pts_valid, jnp.asarray(down_size / 2, jnp.float32),
+            npad_map)
+        return dp2, dv2, jnp.asarray(True)
+
+    dpts, dvalid, _ = jax.lax.while_loop(
+        lambda c: ~c[2] & (n_ds < 2000), ds_retry,
+        (dpts, dvalid, jnp.asarray(False)))
 
     ext_R32 = ext_R.astype(jnp.float32)
     ext_p32 = ext_p.astype(jnp.float32)

@@ -25,7 +25,7 @@ from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM, NMATCH
 from vina_slam_tpu.core.eigh3 import eigh3
 from vina_slam_tpu.core.state import NavState
-from vina_slam_tpu.core.linalg import inv_psd
+from vina_slam_tpu.core.linalg import inv_psd_refined as inv_psd
 from vina_slam_tpu.mapping import voxel_hash as vh
 from vina_slam_tpu.mapping import voxel_map as vm
 
