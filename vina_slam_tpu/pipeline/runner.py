@@ -228,9 +228,12 @@ class SlamRunner:
                       *[float(v) for v in np.asarray(self.params.plane_thre)],
                       float(o.min_eigen_value), 10)
 
-    def _steady_fused(self, frame: Frame):
+    def fused_args(self, frame: Frame):
+        """Host-side packaging of one frame into steady_step's positional
+        args (after the state). Returns None when the frame spans no IMU
+        interval. Shared by the single-sequence driver and the batched
+        multi-sequence driver (parallel/multiseq.py)."""
         from vina_slam_tpu.estimation.ekf import build_intervals, midpoint_arrays
-        from vina_slam_tpu.pipeline import fused
 
         ekf = self.ekf
         if ekf.last_pcl_end_time - frame.beg_time > 0.01:
@@ -246,11 +249,10 @@ class SlamRunner:
         if n == 0:
             return None
         gm, am, dtm, vm_ = midpoint_arrays(cond)
-
         full_pts, full_rel, full_valid = pad_points(frame.scan.pts,
                                                     frame.scan.rel_time)
-        self._fused = fused.steady_step(
-            self._fused, full_pts, full_rel, full_valid,
+        return (
+            full_pts, full_rel, full_valid,
             jnp.asarray(arrays["avr_gyr"]), jnp.asarray(arrays["avr_acc"]),
             jnp.asarray(arrays["dt"]), jnp.asarray(arrays["offt"]),
             jnp.asarray(arrays["valid"]), jnp.asarray(arrays["end_minus_last"]),
@@ -264,7 +266,18 @@ class SlamRunner:
             jnp.asarray(self.cfg.ext_R), jnp.asarray(self.cfg.ext_p),
             jnp.asarray(float(self.imupre_scale_gravity)),
             jnp.asarray(float(self.cfg.local_ba.imu_coef)),
-            self.ms, self.W, self.cfg.tpu.max_voxels_ba, self._cfgs,
+        )
+
+    def _steady_fused(self, frame: Frame):
+        from vina_slam_tpu.pipeline import fused
+
+        args = self.fused_args(frame)
+        if args is None:
+            return None
+        self._fused = fused.steady_step(
+            self._fused, *args,
+            ms=self.ms, W=self.W, Vmax=self.cfg.tpu.max_voxels_ba,
+            cfgs=self._cfgs,
         )
         self.stats.frames += 1
         self._pending_rows += 1
