@@ -65,7 +65,9 @@ def main():
         frames, gts = synth.simulate_sequence(
             duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
             imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=seed)
-        runner = SlamRunner(cfg, npad_map=8192)
+        # map-push bucket: the downsampled cloud is ~2-3k points at these
+        # settings; 4096 halves every (W, Np) window op vs the 8192 default
+        runner = SlamRunner(cfg, npad_map=4096)
         warmup = 0
         split = len(frames)
         for i, f in enumerate(frames):
