@@ -1,0 +1,72 @@
+"""In-context cost bisection of the fused steady step on the real TPU:
+compiles prefix programs of steady_step (static stop_after) against one
+real steady state + frame, so each stage's cost is measured exactly as it
+executes inside the full program (fusion context, real data)."""
+
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+import numpy as np
+
+from vina_slam_tpu.core.config import SlamConfig
+from vina_slam_tpu.pipeline import fused
+from vina_slam_tpu.pipeline.runner import SlamRunner
+from vina_slam_tpu.sensor import synth
+
+
+def main():
+    frames, _ = synth.simulate_sequence(
+        duration=4.0, n_az=180, n_el=12, noise=0.005,
+        imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
+    cfg = SlamConfig()
+    cfg.odometry.voxel_size = 1.0
+    cfg.odometry.down_size = 0.1
+    cfg.local_ba.win_size = 10
+    cfg.local_ba.max_layer = 2
+    cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
+    cfg.local_ba.imu_coef = 2e-4
+    cfg.general.if_BA = 1
+    cfg.tpu.map_capacity = 1 << 16
+    cfg.tpu.fix_pool_capacity = 1 << 16
+    cfg.tpu.max_voxels_ba = 2048
+    runner = SlamRunner(cfg, npad_map=4096)
+
+    warm = 0
+    split = len(frames)
+    for i, f in enumerate(frames):
+        out = runner.process_frame(f)
+        if not runner.motion_init_flag and out is not None:
+            warm += 1
+        if warm >= 10:
+            split = i + 1
+            break
+    runner.sync()
+    st = runner._fused
+    args = runner.fused_args(frames[split])
+    assert args is not None
+
+    stages = ["down", "iekf", "win", "recut", "extract", "ba", "all"]
+    prev = 0.0
+    print(f"{'prefix':10s} {'total ms':>9s} {'delta ms':>9s}", flush=True)
+    for stage in stages:
+        fn = lambda: fused.steady_step(
+            st, *args, ms=runner.ms, W=runner.W,
+            Vmax=cfg.tpu.max_voxels_ba, cfgs=runner._cfgs, stop_after=stage)
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / n * 1e3
+        print(f"{stage:10s} {ms:9.2f} {ms - prev:9.2f}", flush=True)
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ class MapStatic(NamedTuple):
     pool_capacity: int = 1 << 20
     active_cap: int = 1 << 14  # max leaves refit per recut wave (compaction)
     refind_cap: int = 1 << 14  # max cache-miss points re-descended per recut
+    pool_move_cap: int = 1 << 14  # max pool points redistributed per split wave
 
 
 class MapParams(NamedTuple):
@@ -306,27 +307,45 @@ def _bf_var(var, rel):
 
 
 def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, jour):
-    """Redistribute fixed mass after subdivisions: reassign every pool point
-    (creating missing children — fix_divide semantics, octree.cpp:257-277),
-    recompute unsealed fixed clusters from the pool, and store them back.
-    Sealed slots keep their frozen stats. Roots are never created (evicted
-    voxels stay gone). Called only when recut actually split a node or after
-    eviction — NOT per scan.
+    """Redistribute fixed mass after subdivisions (fix_divide semantics,
+    octree.cpp:257-277), INCREMENTALLY: only pool points whose cached leaf
+    just split move — their mass is scatter-added to the child leaves they
+    descend to. The (now non-leaf) parent keeps its stale fix stats, which
+    no reader touches (match/refit/margi/extract all gate on leaves). A full
+    pool reassignment per split wave cost ~30 ms/scan; the affected subset
+    is O(100) points. Compacted to pool_move_cap; overflow points keep
+    their stale (still-split) slot and are caught by the next wave. Sealed
+    children keep their frozen stats (margi drops their pool points).
 
-    Returns (m, pool) with refreshed fix arrays and cached pool slots."""
+    Returns (m, pool) with updated fix arrays and cached pool slots."""
     C = ms.capacity
-    m, slot = assign_insert(m, pool.pts, pool.valid, params, ms, jour,
-                            create_roots=False)
-    ok = pool.valid & (slot >= 0)
-    _, centers, _ = slot_meta(m, slot, params)
-    rel = pool.pts - centers
-    pc = _seg_cluster(slot, rel, ok, C)
+    ps = jnp.maximum(pool.slot, 0)
+    moved = pool.valid & (pool.slot >= 0) & (m.state[ps] == 1)
+    rows = vh.compact_indices(moved, ms.pool_move_cap, -1)
+    rv = rows >= 0
+    rr = jnp.maximum(rows, 0)
+    pts = pool.pts[rr]
+    m, new_slots = assign_insert(m, pts, rv, params, ms, jour,
+                                 create_roots=False)
+    _, centers, _ = slot_meta(m, new_slots, params)
+    rel = pts - centers
+    okm = rv & (new_slots >= 0)
+    sid = jnp.where(okm, new_slots, C)
+    w = okm.astype(jnp.float32)
+    p = rel.astype(jnp.float32) * w[:, None]
+    dP = jax.ops.segment_sum((p[:, :, None] * p[:, None, :]).reshape(-1, 9),
+                             sid, num_segments=C + 1)[:C].reshape(C, 3, 3)
+    dv = jax.ops.segment_sum(p, sid, num_segments=C + 1)[:C]
+    dN = jax.ops.segment_sum(w, sid, num_segments=C + 1)[:C]
+    grow = (~m.sealed).astype(jnp.float32)
     m = m._replace(
-        fix_P=jnp.where(m.sealed[:, None, None], m.fix_P, pc.P),
-        fix_v=jnp.where(m.sealed[:, None], m.fix_v, pc.v),
-        fix_N=jnp.where(m.sealed, m.fix_N, pc.N),
+        fix_P=m.fix_P + dP * grow[:, None, None],
+        fix_v=m.fix_v + dv * grow[:, None],
+        fix_N=m.fix_N + dN * grow,
     )
-    pool = pool._replace(slot=jnp.where(pool.valid, slot, -1))
+    tgt = jnp.where(rv, rr, pool.slot.shape[0])
+    pool = pool._replace(
+        slot=pool.slot.at[tgt].set(new_slots, mode="drop"))
     return m, pool
 
 
@@ -430,27 +449,18 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         unfinished = jnp.any(want_split_a) | jnp.any(flat_v & (slots == -1))
         return m, lv_pt, unfinished
 
-    def wave_fn(m):
-        m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour, create_roots=True)
-        m, lv_pt, unfinished = refit(m, slots)
-        return m, slots, lv_pt, unfinished
-
-    if cached is None:
-        m, slots, levels_pt, unfinished = wave_fn(m)
-    else:
-        # Cached-slot fast path: most window points keep the same leaf from
-        # scan to scan, so wave 1 VERIFIES the cached assignment (one gather
-        # + key compare, ~5x cheaper than the 3-level probe descent) and
-        # fully re-descends only the misses, compacted to refind_cap (a new
-        # frame's worth plus slack). Overflow misses keep slot -1 this wave
-        # and are picked up by the straggler wave below with a full descent.
-        flat_c = cached.reshape(-1)
-        sc = jnp.maximum(flat_c, 0)
+    def assign_cached(m, prev):
+        """Verify a previous flat slot assignment (one gather + key compare,
+        ~5x cheaper than the 3-level probe descent) and fully re-descend only
+        the misses, compacted to refind_cap (a new frame's worth plus slack).
+        Overflow misses keep slot -1 this wave and are picked up by the next
+        (straggler) wave, whose verify also fails for them."""
+        sc = jnp.maximum(prev, 0)
         lv_c, coords_c = vh.decode(m.keys[sc])
         edge_c = params.voxel_size / (2.0 ** jnp.maximum(lv_c, 0).astype(jnp.float32))
         my_coords = vh.coords_of(flat_w, edge_c[:, None])
         ok_cached = (
-            flat_v & (flat_c >= 0)
+            flat_v & (prev >= 0)
             & (m.keys[sc] != vh.EMPTY_KEY)
             & (m.state[sc] == 0)
             & jnp.all(my_coords == coords_c, axis=-1)
@@ -461,23 +471,35 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         sub_pts = flat_w[jnp.maximum(rows, 0)]
         m, sub_slots = assign_insert(m, sub_pts, sub_valid, params, ms, jour,
                                      create_roots=True)
-        slots = jnp.where(ok_cached, flat_c, -1)
-        tgt = jnp.where(sub_valid, rows, flat_c.shape[0])
+        slots = jnp.where(ok_cached, prev, -1)
+        tgt = jnp.where(sub_valid, rows, prev.shape[0])
         slots = slots.at[tgt].set(sub_slots, mode="drop")
-        m, levels_pt, unfinished = refit(m, slots)
+        return m, slots
+
+    if cached is None:
+        m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour,
+                                 create_roots=True)
+    else:
+        m, slots = assign_cached(m, cached.reshape(-1))
+    m, levels_pt, unfinished = refit(m, slots)
 
     # Later waves run only while the previous one split a node or left
     # stragglers; a while_loop (not a chain of conds) because XLA aliases
     # while carries in place, whereas each skipped cond's identity branch
-    # would copy the whole map. levels+1 passes cover a full split cascade
-    # plus a straggler pass.
+    # would copy the whole map. Each wave verifies the previous wave's
+    # assignment (points in just-split voxels fail the leaf check and
+    # re-descend to the children) and redistributes only the pool points
+    # whose leaf split — split waves cost O(affected points), not O(window +
+    # pool). levels+1 passes cover a full split cascade plus a straggler
+    # pass.
     def w_cond(carry):
         return carry[5] & (carry[4] < ms.levels + 1)
 
     def w_body(carry):
         mm, pp, s, lv, w, _ = carry
         mm, pp = _pool_fix(mm, pp, params, ms, jour)
-        mm, s, lv, unf = wave_fn(mm)
+        mm, s = assign_cached(mm, s)
+        mm, lv, unf = refit(mm, s)
         return mm, pp, s, lv, w + 1, unf
 
     m, pool, slots, levels_pt, _, _ = jax.lax.while_loop(

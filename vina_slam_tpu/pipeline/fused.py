@@ -80,7 +80,7 @@ def _push_state(xs: NavState, i, x: NavState) -> NavState:
         for f, v in zip(xs, x)))
 
 
-@partial(jax.jit, static_argnames=("ms", "W", "Vmax", "cfgs"))
+@partial(jax.jit, static_argnames=("ms", "W", "Vmax", "cfgs", "stop_after"))
 def steady_step(
     st: SteadyState,
     # scan (padded to a bucket)
@@ -96,6 +96,7 @@ def steady_step(
     ms: vm.MapStatic, W: int, Vmax: int,
     cfgs,  # hashable tuple: (down_size, dept_err, beam_err, if_ba, npad_map,
            #                  plane_thre0..3 as floats, min_eigen, max_iter_ba)
+    stop_after: str = "all",  # profiling bisect: compile a prefix program
 ):
     (down_size, dept_err, beam_err, if_ba, npad_map, pt0, pt1, pt2, pt3,
      min_eig_f, ba_iters) = cfgs
@@ -127,6 +128,8 @@ def steady_step(
     dpts, dvalid, _ = jax.lax.while_loop(
         lambda c: ~c[2] & (n_ds < 2000), ds_retry,
         (dpts, dvalid, jnp.asarray(False)))
+    if stop_after == "down":
+        return st._replace(x=x, win_pts=st.win_pts.at[0, : dpts.shape[0]].set(dpts))
 
     ext_R32 = ext_R.astype(jnp.float32)
     ext_p32 = ext_p.astype(jnp.float32)
@@ -142,6 +145,8 @@ def steady_step(
     x = res.x
     degrade_cnt = jnp.where(res.ok, jnp.maximum(st.degrade_cnt - 1, 0),
                             st.degrade_cnt + 1)
+    if stop_after == "iekf":
+        return st._replace(x=x, degrade_cnt=degrade_cnt)
 
     # ---------------- window push ----------------
     _, w_var = pointcov.world_var(map_body, map_var, x.R, x.p, x.cov)
@@ -165,6 +170,10 @@ def steady_step(
         st.pre_f, new_edge)
 
     win_count = i + 1
+    if stop_after == "win":
+        return st._replace(x=x, xs=xs, pre_f=pre_f, win_pts=win_pts,
+                           win_var=win_var, win_valid=win_valid,
+                           win_count=win_count.astype(jnp.int32))
 
     # ---------------- map recut + factor extraction ----------------
     R32 = xs.R.astype(jnp.float32)
@@ -182,8 +191,14 @@ def steady_step(
     m = vm.accumulate_cov(
         m, slots[new_row], win_w[new_row], win_var[new_row],
         win_valid[new_row], params, ms)
+    if stop_after == "recut":
+        return st._replace(x=x, m=m, pool=pool0, win_slots=slots)
     factors = fx.extract_factors(m, slots, win_w, win_valid, xs.R, xs.p,
                                  params, ms, Vmax, W)
+    if stop_after == "extract":
+        return st._replace(x=x, m=m, pool=pool0, win_slots=slots,
+                           win_count=win_count.astype(jnp.int32)
+                           + (factors.n_valid * 0))
 
     # ---------------- window-full branch: BA + margi + shift ----------------
     full = win_count >= W
@@ -225,6 +240,11 @@ def steady_step(
     (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x,
      jour) = jax.lax.cond(full, full_branch, not_full, op)
     win_count = jnp.where(full, win_count - 1, win_count)
+    if stop_after == "ba":
+        return st._replace(x=x, m=m, pool=pool, xs=xs, pre_f=pre_f,
+                           win_pts=win_pts, win_var=win_var,
+                           win_valid=win_valid, win_slots=win_slots,
+                           win_count=win_count.astype(jnp.int32))
 
     # ---------------- journey / eviction bookkeeping ----------------
     scan_idx = st.scan_idx + 1
