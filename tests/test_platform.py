@@ -166,7 +166,7 @@ class TestCheckpoint:
         cfg.tpu.fix_pool_capacity = 1 << 10
         r1 = SlamRunner(cfg, npad_map=256)
         r1.jour = 12.5
-        r1.traj = [[1.0, np.eye(3), np.array([1.0, 2, 3])]]
+        r1.traj = [[1.0, np.eye(3), np.array([1.0, 2, 3]), True]]
         path = str(tmp_path / "ck.npz")
         ck.save_checkpoint(path, r1)
 
@@ -174,6 +174,7 @@ class TestCheckpoint:
         ck.load_checkpoint(path, r2)
         assert r2.jour == 12.5
         assert len(r2.traj) == 1
+        assert r2.traj[0][3] is True
         np.testing.assert_allclose(np.asarray(r2.map.keys), np.asarray(r1.map.keys))
 
 

@@ -205,3 +205,62 @@ class TestSynth:
         f = frames[0]
         assert f.imu.t.size > 4
         assert (np.diff(f.scan.rel_time) >= 0).all()
+
+
+class TestVelodyneExactParity:
+    """The Python fallback unwrap must match the native state machine
+    bit-for-bit (decode.cpp:79-108 == decoders._velodyne_unwrap_exact) on a
+    wrap-around scan crossing the +/-180 deg seam."""
+
+    def _wrap_scan(self, n=2000, seed=3):
+        rng = np.random.default_rng(seed)
+        true_t = np.arange(n) * (0.1 / n)
+        # clockwise sweep starting near the atan2 seam so it wraps mid-scan,
+        # plus azimuth jitter that triggers the fold-by-360 branch
+        yaw = np.radians(175.0) - np.radians(3610.0) * true_t
+        yaw += rng.normal(scale=2e-3, size=n)
+        r = rng.uniform(2.0, 30.0, n)
+        # sprinkle blind / |x|<0.1 points to exercise the skip paths
+        r[rng.random(n) < 0.02] = 0.05
+        x = (r * np.cos(yaw)).astype(np.float32)
+        y = (r * np.sin(yaw)).astype(np.float32)
+        z = rng.uniform(-1, 1, n).astype(np.float32)
+        x[rng.random(n) < 0.01] = 0.05
+        return x, y, z
+
+    def test_python_matches_native(self):
+        from vina_slam_tpu.sensor import native
+
+        if not native.available():
+            import subprocess
+            subprocess.run(["make", "-C", "csrc"], cwd=str(
+                __import__("pathlib").Path(__file__).resolve().parents[1]),
+                check=False, capture_output=True)
+            native._LIB = None
+        if not native.available():
+            pytest.skip("native decode library not built")
+
+        x, y, z = self._wrap_scan()
+        n = x.size
+        inten = np.zeros(n, np.float32)
+        tzero = np.zeros(n, np.float32)
+        pts_n, int_n, rel_n = native.decode_velodyne(
+            x, y, z, inten, tzero, 2, 1.0)
+        idx_p, rel_p = decoders._velodyne_unwrap_exact(
+            x, y, z, filter_num=2, blind_sq=1.0, omega_deg_s=3610.0)
+        assert pts_n.shape[0] == idx_p.size
+        np.testing.assert_array_equal(pts_n, np.stack([x, y, z], -1)[idx_p])
+        np.testing.assert_allclose(rel_n, rel_p, rtol=0, atol=1e-7)
+        # the scan actually wrapped (rel_time spans most of the revolution)
+        assert rel_p.max() > 0.08
+
+    def test_decode_velodyne_uses_exact_machine(self):
+        x, y, z = self._wrap_scan(seed=5)
+        n = x.size
+        f = {"x": x, "y": y, "z": z, "intensity": np.zeros(n),
+             "time": np.zeros(n)}
+        out = decoders.decode(VELODYNE, f, 0.0, 1, 1.0)
+        idx_p, rel_p = decoders._velodyne_unwrap_exact(
+            x, y, z, filter_num=1, blind_sq=1.0, omega_deg_s=3610.0)
+        np.testing.assert_array_equal(out.pts, np.stack([x, y, z], -1)[idx_p])
+        np.testing.assert_array_equal(out.rel_time, rel_p)

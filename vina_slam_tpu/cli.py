@@ -58,7 +58,7 @@ def cmd_run(args):
         # trajectory if nothing was streamed per frame
         if n_streamed == 0:
             runner.drain_traj()
-            for t, R, p in runner.traj:
+            for t, R, p, *_ in runner.traj:
                 writer.write(t, R, p)
         writer.close()
     if args.checkpoint:

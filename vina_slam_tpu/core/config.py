@@ -69,6 +69,12 @@ class LocalBAConfig:
     plane_eigen_value_thre: List[float] = field(default_factory=lambda: [1.0, 1.0, 1.0, 1.0])
     imu_coef: float = 1e-4
     thread_num: int = 5
+    # select the 3-factor BA overload (lidar + NORMAL + IMU,
+    # optimizers.cpp:519-594); the reference builds the normal factors every
+    # recut but its shipped loop only calls the 2-factor overload
+    # (SURVEY.md section 3.2: "Build both; wire selection behind config").
+    # When enabled, max_iter drops to 3 like the reference overload.
+    use_normal: int = 0
 
 
 @dataclass

@@ -281,6 +281,12 @@ class ImuEkf:
         K = IMU_BUCKET
         n = len(dts)
         if n == 0:
+            # still consume the stream like the reference (and like
+            # fused_args, which advances unconditionally): otherwise the next
+            # frame sees a stale last_pcl_end_time and trips
+            # LidarTimeRegression or integrates a doubled interval
+            self.last_imu = (end_time, imu.gyr[-1].copy(), imu.acc[-1].copy())
+            self.last_pcl_end_time = end_time
             return 0, x, pts, imu
         if n > K:
             raise RuntimeError(f"IMU bucket overflow: {n} > {K}")

@@ -317,6 +317,10 @@ def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, jour):
     their stale (still-split) slot and are caught by the next wave. Sealed
     children keep their frozen stats (margi drops their pool points).
 
+    Like the reference's push_fix (octree.cpp:178-187), redistribution also
+    adds each moved point's Bf_var to the CHILD's cov_add, so subdivided
+    planes carry the fixed points' covariance mass.
+
     Returns (m, pool) with updated fix arrays and cached pool slots."""
     C = ms.capacity
     ps = jnp.maximum(pool.slot, 0)
@@ -338,10 +342,14 @@ def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, jour):
     dv = jax.ops.segment_sum(p, sid, num_segments=C + 1)[:C]
     dN = jax.ops.segment_sum(w, sid, num_segments=C + 1)[:C]
     grow = (~m.sealed).astype(jnp.float32)
+    B = _bf_var(pool.var[rr], rel.astype(jnp.float32)) * w[:, None, None]
+    dB = jax.ops.segment_sum(B.reshape(-1, 81), sid,
+                             num_segments=C + 1)[:C].reshape(C, 9, 9)
     m = m._replace(
         fix_P=m.fix_P + dP * grow[:, None, None],
         fix_v=m.fix_v + dv * grow[:, None],
         fix_N=m.fix_N + dN * grow,
+        cov_add=m.cov_add + dB * grow[:, None, None],
     )
     tgt = jnp.where(rv, rr, pool.slot.shape[0])
     pool = pool._replace(
@@ -381,7 +389,8 @@ def _plane_judge(eig, level, params: MapParams):
 
 @partial(jax.jit, static_argnames=("ms", "win"))
 def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
-          ms: MapStatic, win: int, jour, cached=None):
+          ms: MapStatic, win: int, jour, cached=None, win_var=None,
+          new_mask=None):
     """Re-fit planes / subdivide after pose updates.
 
     cached: optional (W, Np) i32 leaf slots from the previous recut (-1 =
@@ -393,6 +402,14 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     (the caller transforms body buffers by the latest poses — this makes the
     reference's insert + recut pair a single idempotent recompute).
 
+    win_var/new_mask: optional (W, Np, 3, 3) world point covariances and a
+    (W, Np) mask of the freshly pushed frame. When given, recut owns the
+    Bf_var covariance accumulation of OctoTree::push / subdivide / push_fix
+    (octree.cpp:151-300): a point's Bf contribution is scatter-added to its
+    leaf's cov_add when it is first inserted (new_mask) and again to the
+    child leaf whenever its voxel subdivides — exactly the reference's
+    re-push. Callers using this MUST NOT also call accumulate_cov.
+
     Runs up to `levels` split waves; each wave fits planes on the current
     leaf assignment and marks populated non-planar leaves for subdivision
     (octree.cpp:335-393). Fixed clusters come from the STORED per-slot
@@ -403,6 +420,20 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     W, Np, _ = win_pts_w.shape
     flat_w = win_pts_w.reshape(-1, 3)
     flat_v = win_valid.reshape(-1)
+    do_bf = win_var is not None
+    flat_var = win_var.reshape(-1, 3, 3) if do_bf else None
+    flat_new = (new_mask.reshape(-1) if new_mask is not None
+                else jnp.zeros_like(flat_v))
+
+    def add_bf(m, sel_rows, sel_ok, sel_slots):
+        """Scatter-add Bf_var of the selected points at their new slots."""
+        _, c_new, _ = slot_meta(m, sel_slots, params)
+        relb = (flat_w[sel_rows] - c_new).astype(jnp.float32)
+        B = (_bf_var(flat_var[sel_rows], relb)
+             * sel_ok[:, None, None].astype(jnp.float32))
+        tgt = jnp.where(sel_ok, sel_slots, C)
+        return m._replace(cov_add=m.cov_add.at[tgt].add(
+            B.astype(m.cov_add.dtype), mode="drop"))
 
     def refit(m, slots):
         lv_pt, centers, _ = slot_meta(m, slots, params)
@@ -454,23 +485,35 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         ~5x cheaper than the 3-level probe descent) and fully re-descend only
         the misses, compacted to refind_cap (a new frame's worth plus slack).
         Overflow misses keep slot -1 this wave and are picked up by the next
-        (straggler) wave, whose verify also fails for them."""
+        (straggler) wave, whose verify also fails for them.
+
+        Bf accounting (when win_var is given): a re-descended point adds its
+        Bf_var to the new leaf iff (a) it had no slot yet and is a fresh
+        insert (new_mask: OctoTree::push) or (b) its previous slot just
+        split (subdivide's re-push, octree.cpp:283-300)."""
         sc = jnp.maximum(prev, 0)
+        key_ok = m.keys[sc] != vh.EMPTY_KEY
+        was_split = flat_v & (prev >= 0) & key_ok & (m.state[sc] == 1)
         lv_c, coords_c = vh.decode(m.keys[sc])
         edge_c = params.voxel_size / (2.0 ** jnp.maximum(lv_c, 0).astype(jnp.float32))
         my_coords = vh.coords_of(flat_w, edge_c[:, None])
         ok_cached = (
             flat_v & (prev >= 0)
-            & (m.keys[sc] != vh.EMPTY_KEY)
+            & key_ok
             & (m.state[sc] == 0)
             & jnp.all(my_coords == coords_c, axis=-1)
         )
         need = flat_v & ~ok_cached
         rows = vh.compact_indices(need, ms.refind_cap, -1)
         sub_valid = rows >= 0
-        sub_pts = flat_w[jnp.maximum(rows, 0)]
+        sel = jnp.maximum(rows, 0)
+        sub_pts = flat_w[sel]
         m, sub_slots = assign_insert(m, sub_pts, sub_valid, params, ms, jour,
                                      create_roots=True)
+        if do_bf:
+            bf_ok = sub_valid & (sub_slots >= 0) & (
+                was_split[sel] | ((prev[sel] == -1) & flat_new[sel]))
+            m = add_bf(m, sel, bf_ok, sub_slots)
         slots = jnp.where(ok_cached, prev, -1)
         tgt = jnp.where(sub_valid, rows, prev.shape[0])
         slots = slots.at[tgt].set(sub_slots, mode="drop")
@@ -479,6 +522,11 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     if cached is None:
         m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour,
                                  create_roots=True)
+        if do_bf:
+            ins = flat_v & flat_new & (slots >= 0)
+            rows0 = vh.compact_indices(ins, ms.refind_cap, -1)
+            sel0 = jnp.maximum(rows0, 0)
+            m = add_bf(m, sel0, rows0 >= 0, slots[sel0])
     else:
         m, slots = assign_cached(m, cached.reshape(-1))
     m, levels_pt, unfinished = refit(m, slots)
@@ -642,7 +690,6 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     slots = slots.reshape(-1)
 
     fix = cl.Cluster(P=m.fix_P, v=m.fix_v, N=m.fix_N)
-    pool_slot = pool.slot
 
     lv_pt, centers_pt, _ = slot_meta(m, slots, params)
     rel = flat_w - centers_pt
@@ -712,7 +759,9 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     # ring-append the marginalized raw points (pool feeds future splits)
     F = ms.pool_capacity
     pos_in_batch = jnp.cumsum(append.astype(jnp.int32)) - 1
-    n_app = jnp.sum(append.astype(jnp.int32))
+    # NB: jnp.sum(int32) promotes to int64 under x64 — keep the ring head a
+    # stable int32 so cond branches carrying the pool agree on dtypes
+    n_app = jnp.sum(append.astype(jnp.int32)).astype(jnp.int32)
     dst = (pool.head + pos_in_batch) % F
     dst = jnp.where(append, dst, F)  # drop-mode
     pool = pool._replace(
@@ -723,10 +772,12 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
         head=(pool.head + n_app) % F,
     )
     # drop pool points of sealed voxels (reference clears point_fix when full,
-    # octree.cpp:461-469); their mass lives on in the frozen cluster
-    psl = jnp.maximum(pool_slot, 0)
+    # octree.cpp:461-469); their mass lives on in the frozen cluster. The
+    # mask uses the POST-append pool.slot so just-appended entries are judged
+    # by their own voxel, not the ring slot they overwrote
+    psl = jnp.maximum(pool.slot, 0)
     pool = pool._replace(
-        valid=pool.valid & ~((pool_slot >= 0) & sealed[psl])
+        valid=pool.valid & ~((pool.slot >= 0) & sealed[psl])
     )
     return m, pool
 

@@ -95,11 +95,12 @@ def steady_step(
     # statics
     ms: vm.MapStatic, W: int, Vmax: int,
     cfgs,  # hashable tuple: (down_size, dept_err, beam_err, if_ba, npad_map,
-           #                  plane_thre0..3 as floats, min_eigen, max_iter_ba)
+           #                  plane_thre0..3 as floats, min_eigen, max_iter_ba,
+           #                  use_normal)
     stop_after: str = "all",  # profiling bisect: compile a prefix program
 ):
     (down_size, dept_err, beam_err, if_ba, npad_map, pt0, pt1, pt2, pt3,
-     min_eig_f, ba_iters) = cfgs
+     min_eig_f, ba_iters, use_normal) = cfgs
     x = st.x
 
     # ---------------- EKF propagation + deskew ----------------
@@ -182,15 +183,16 @@ def steady_step(
     win_w = jnp.where(win_valid[..., None], win_w, 1e7)
     win_slots_hint = _set_frame(st.win_slots, i,
                                 jnp.full(st.win_slots.shape[1:], -1, jnp.int32))
-    m, pool0, slots, _ = vm.recut(st.m, st.pool, win_w, win_valid, params, ms,
-                                  W, st.jour, cached=win_slots_hint)
-    win_slots = slots
-    # insertion-time Bf covariance accumulation for the NEW frame only
-    # (OctoTree::push semantics, octree.cpp:172-176)
+    # recut owns the Bf covariance accumulation: insertion-time add for the
+    # NEW frame (OctoTree::push, octree.cpp:172-176) plus re-adds into
+    # children on subdivision (subdivide/push_fix re-push semantics)
     new_row = jnp.minimum(i, W - 1)
-    m = vm.accumulate_cov(
-        m, slots[new_row], win_w[new_row], win_var[new_row],
-        win_valid[new_row], params, ms)
+    new_mask = jnp.broadcast_to(
+        (jnp.arange(W) == new_row)[:, None], win_valid.shape)
+    m, pool0, slots, _ = vm.recut(st.m, st.pool, win_w, win_valid, params, ms,
+                                  W, st.jour, cached=win_slots_hint,
+                                  win_var=win_var, new_mask=new_mask)
+    win_slots = slots
     if stop_after == "recut":
         return st._replace(x=x, m=m, pool=pool0, win_slots=slots)
     factors = fx.extract_factors(m, slots, win_w, win_valid, xs.R, xs.p,
@@ -209,13 +211,14 @@ def steady_step(
                             g=xs.g[W - 1])
         if if_ba:
             lm = ba.damping_iter(w0, factors, pre_f, imu_coef, W,
-                                 max_iter=ba_iters)
+                                 max_iter=ba_iters, use_normal=use_normal)
             w1, pre_f = lm.poses, lm.pre_f
         else:
             w1 = w0
         xs = xs._replace(R=w1.R, p=w1.p, v=w1.v, bg=w1.bg, ba=w1.ba)
-        x = x._replace(R=w1.R[W - 1], p=w1.p[W - 1], v=w1.v[W - 1],
-                       bg=w1.bg[W - 1], ba=w1.ba[W - 1])
+        # only R/p flow back into the odometry state, like the reference
+        # (local_mapping.cpp:501-502) and the modular _absorb_ba
+        x = x._replace(R=w1.R[W - 1], p=w1.p[W - 1])
 
         R32 = xs.R.astype(jnp.float32)
         p32 = xs.p.astype(jnp.float32)
@@ -257,13 +260,19 @@ def steady_step(
     # 0/1-iteration while_loop, NOT lax.cond: a cond's untaken-identity
     # branch copies the ~150 MB map + pool every non-evict scan, while an
     # XLA while aliases its carry in place and runs zero iterations.
+    # Rebuild only when the table actually holds entries older than the
+    # release distance (the reference evicts on idle ticks and only frees
+    # stale voxels, local_mapping.cpp:317-344) — `jour > 700` alone would
+    # re-trigger the full-table rebuild on EVERY movement tick of a long run.
     def evict_body(carry):
         mm, pp, _ = carry
         mm, pp = vm.evict(mm, pp, jour, params, ms)
         return mm, pp, jnp.asarray(True)
 
+    evictable = jnp.any((m.keys != vm.vh.EMPTY_KEY)
+                        & (jour - m.jour >= 700.0))
     m, pool, evicted = jax.lax.while_loop(
-        lambda c: ~c[2] & move & (jour > 700.0), evict_body,
+        lambda c: ~c[2] & move & evictable, evict_body,
         (m, pool, jnp.asarray(False)))
     # eviction rebuilds the hash table: every cached slot is stale
     win_slots = jnp.where(evicted, -1, win_slots)

@@ -223,10 +223,12 @@ class SlamRunner:
         self._traj_base = len(self.traj)
         self._fetched = 0
         o, lb = self.cfg.odometry, self.cfg.local_ba
+        use_normal = bool(lb.use_normal)
         self._cfgs = (float(o.down_size), float(o.dept_err), float(o.beam_err),
                       bool(self.cfg.general.if_BA), int(self.npad_map),
                       *[float(v) for v in np.asarray(self.params.plane_thre)],
-                      float(o.min_eigen_value), 10)
+                      float(o.min_eigen_value),
+                      3 if use_normal else 10, use_normal)
 
     def fused_args(self, frame: Frame):
         """Host-side packaging of one frame into steady_step's positional
@@ -285,6 +287,30 @@ class SlamRunner:
             self.drain_traj()
         return {"queued": True, "t": float(frame.end_time)}
 
+    def sync_from_fused(self):
+        """Mirror the device-resident fused SteadyState back into the modular
+        fields (map, pool, window buffers, states, preintegrations, journey).
+        Checkpointing and any other whole-state consumer MUST see this view —
+        the modular fields are stale _enter_fused()-time snapshots otherwise.
+        The runner stays in fused mode; this is a read-out, not an exit."""
+        if self._fused is None:
+            return
+        self.drain_traj()  # traj store + x_curr + degrade counter
+        f = self._fused
+        self.map, self.pool = f.m, f.pool
+        self.win_pts, self.win_var, self.win_valid = (
+            f.win_pts, f.win_var, f.win_valid)
+        wc = int(f.win_count)
+        self.win_count = wc
+        self.win_base = int(f.scan_idx) - wc
+        self.x_curr = f.x
+        self.x_buf = [jax.tree_util.tree_map(lambda a, i=i: a[i], f.xs)
+                      for i in range(wc)]
+        self.pre_buf = [jax.tree_util.tree_map(lambda a, i=i: a[i], f.pre_f)
+                        for i in range(max(wc - 1, 0))]
+        self.jour = float(f.jour)
+        self.last_pos = np.asarray(f.last_pos)
+
     def drain_traj(self):
         """Fetch the device trajectory ring into the host path store
         (re-reading the whole window tail picks up BA refinements)."""
@@ -297,7 +323,9 @@ class SlamRunner:
         # rebuild the host tail from the ring (covers refreshed BA poses)
         start = max(head - n_rows, 0)
         rows = [ring[k % fmod.TRAJ_CAP] for k in range(start, head)]
-        out = [[r[0], r[4:13].reshape(3, 3).copy(), r[1:4].copy()] for r in rows]
+        # col 13 is the per-scan degeneracy verdict (odometry.cpp:244-254)
+        out = [[r[0], r[4:13].reshape(3, 3).copy(), r[1:4].copy(), bool(r[13])]
+               for r in rows]
         self.traj = self.traj[: self._traj_base + start] + out
         self._pending_rows = 0
         self.x_curr = self._fused.x
@@ -364,7 +392,7 @@ class SlamRunner:
         self.win_count += 1
 
         self.traj.append([float(self.x_curr.t), np.asarray(self.x_curr.R),
-                          np.asarray(self.x_curr.p)])
+                          np.asarray(self.x_curr.p), not bool(res.ok)])
 
         out = self._map_update_and_ba(cond_imu)
         self.stats.frames += 1
@@ -386,14 +414,15 @@ class SlamRunner:
         out = {}
         Rs, ps = self._stacked_poses()
         win_w = _win_world(self.win_pts, self.win_valid, Rs, ps)
+        # recut owns the Bf accumulation: insertion-time add for the newly
+        # pushed frame + re-adds into children on subdivision (push/subdivide
+        # semantics, octree.cpp:151-300)
+        new_row = min(self.win_count - 1, self.W - 1)
+        new_mask = jnp.zeros(self.win_valid.shape, bool).at[new_row].set(True)
         self.map, self.pool, slots, _ = vm.recut(
             self.map, self.pool, win_w, self.win_valid, self.params, self.ms,
-            self.W, jnp.asarray(self.jour, jnp.float32))
-        # insertion-time Bf accumulation for the newly pushed frame
-        new_row = min(self.win_count - 1, self.W - 1)
-        self.map = vm.accumulate_cov(
-            self.map, slots[new_row], win_w[new_row], self.win_var[new_row],
-            self.win_valid[new_row], self.params, self.ms)
+            self.W, jnp.asarray(self.jour, jnp.float32),
+            win_var=self.win_var, new_mask=new_mask)
 
         if self.win_count >= self.W:
             factors = fx.extract_factors(
@@ -409,9 +438,12 @@ class SlamRunner:
                     bg=jnp.stack([x.bg for x in self.x_buf]),
                     ba=jnp.stack([x.ba for x in self.x_buf]),
                     g=self.x_buf[-1].g)
+                use_normal = bool(cfg.local_ba.use_normal)
+                # 3-factor overload runs max_iter=3 (optimizers.cpp:536)
                 lm = ba.damping_iter(
                     w0, factors, pre_st, jnp.asarray(cfg.local_ba.imu_coef),
-                    self.W, max_iter=10)
+                    self.W, max_iter=3 if use_normal else 10,
+                    use_normal=use_normal)
                 self._absorb_ba(lm)
                 self.stats.ba_runs += 1
                 Rs, ps = self._stacked_poses()
@@ -432,7 +464,8 @@ class SlamRunner:
             for k, x in enumerate(self.x_buf):
                 idx = len(self.traj) - self.win_count + k
                 if 0 <= idx < len(self.traj):
-                    self.traj[idx] = [float(x.t), np.asarray(x.R), np.asarray(x.p)]
+                    self.traj[idx] = [float(x.t), np.asarray(x.R),
+                                      np.asarray(x.p), self.traj[idx][3]]
 
             self._journey_update()
             self._shift_window()
@@ -461,9 +494,12 @@ class SlamRunner:
                 self.release_flag = True
         if self.release_flag:
             self.release_flag = False
-            # rebuild only if something can actually be released (the
-            # reference runs this on idle ticks; rebuilds are not free)
-            if self.jour > 700.0:
+            # rebuild only if the table actually holds entries older than the
+            # release distance (reference idle-tick semantics,
+            # local_mapping.cpp:317-344) — not on every movement tick
+            if self.jour > 700.0 and bool(jnp.any(
+                    (self.map.keys != vm.vh.EMPTY_KEY)
+                    & (self.jour - self.map.jour >= 700.0))):
                 self.map, self.pool = vm.evict(
                     self.map, self.pool, jnp.asarray(self.jour, jnp.float32),
                     self.params, self.ms)
@@ -528,7 +564,7 @@ class SlamRunner:
         self.vec_imus.append(cond_imu)
 
         self.traj.append([float(self.x_curr.t), np.asarray(self.x_curr.R),
-                          np.asarray(self.x_curr.p)])
+                          np.asarray(self.x_curr.p), False])
 
         if self.win_count >= self.W:
             ok = self._motion_init()
@@ -677,7 +713,7 @@ class SlamRunner:
         for k in range(W):
             idx = len(self.traj) - W + k
             self.traj[idx] = [float(self.x_buf[k].t), np.asarray(self.x_buf[k].R),
-                              np.asarray(self.x_buf[k].p)]
+                              np.asarray(self.x_buf[k].p), self.traj[idx][3]]
         return True
 
     def _post_init_finalize(self, cond_imu):
@@ -699,7 +735,15 @@ class SlamRunner:
         self.drain_traj()
         rows = []
         from vina_slam_tpu.platform.io import rot_to_quat
-        for t, R, p in self.traj:
+        for t, R, p, *_ in self.traj:
             q = rot_to_quat(R)
             rows.append([t, p[0], p[1], p[2], q[0], q[1], q[2], q[3]])
         return np.asarray(rows)
+
+    def degenerate_flags(self) -> np.ndarray:
+        """Per-scan geometric-degeneracy verdicts aligned with trajectory()
+        rows (the reference's IEKF lambda_min(nnt) < 14 check,
+        odometry.cpp:244-254) — preserved through the fused traj ring."""
+        self.drain_traj()
+        return np.asarray([bool(r[3]) if len(r) > 3 else False
+                           for r in self.traj])

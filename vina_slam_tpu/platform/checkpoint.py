@@ -25,6 +25,9 @@ def _unflat(prefix: str, cls, d: dict):
 
 
 def save_checkpoint(path: str, runner) -> None:
+    # in fused mode the modular fields are stale _enter_fused()-time
+    # snapshots; pull the live device state back first
+    runner.sync_from_fused()
     out = {}
     out.update(_flat("map", runner.map))
     out.update(_flat("pool", runner.pool))
@@ -50,9 +53,11 @@ def save_checkpoint(path: str, runner) -> None:
     if runner.ekf.last_imu is not None:
         out["ekf_last_imu"] = np.concatenate([
             [runner.ekf.last_imu[0]], runner.ekf.last_imu[1], runner.ekf.last_imu[2]])
-    out["traj_t"] = np.asarray([t for t, _, _ in runner.traj])
-    out["traj_R"] = np.asarray([R for _, R, _ in runner.traj]).reshape(-1, 9)
-    out["traj_p"] = np.asarray([p for _, _, p in runner.traj])
+    out["traj_t"] = np.asarray([r[0] for r in runner.traj])
+    out["traj_R"] = np.asarray([r[1] for r in runner.traj]).reshape(-1, 9)
+    out["traj_p"] = np.asarray([r[2] for r in runner.traj])
+    out["traj_d"] = np.asarray([bool(r[3]) if len(r) > 3 else False
+                                for r in runner.traj])
     np.savez_compressed(path, **out)
 
 
@@ -85,7 +90,14 @@ def load_checkpoint(path: str, runner) -> None:
     if "ekf_last_imu" in d:
         li = d["ekf_last_imu"]
         runner.ekf.last_imu = (float(li[0]), li[1:4], li[4:7])
+    traj_d = d.get("traj_d", np.zeros(len(d["traj_t"]), bool))
     runner.traj = [
-        [float(t), R.reshape(3, 3), p]
-        for t, R, p in zip(d["traj_t"], d["traj_R"], d["traj_p"])
+        [float(t), R.reshape(3, 3), p, bool(dg)]
+        for t, R, p, dg in zip(d["traj_t"], d["traj_R"], d["traj_p"], traj_d)
     ]
+    # a runner that was checkpointed mid-run in fused mode resumes fused:
+    # rebuild the device-resident SteadyState from the restored fields
+    runner._fused = None
+    runner._pending_rows = 0
+    if runner.use_fused and not runner.motion_init_flag and runner.x_buf:
+        runner._enter_fused()

@@ -79,6 +79,41 @@ def collect_plane_markers(m, params, max_trace: float = 0.25,
     return out
 
 
+def collect_normal_markers(m, params, max_trace: float = 0.25,
+                           pow_num: float = 0.2, max_out: int = 20000) -> list:
+    """Normal ARROW records for all planar leaves
+    (collect_normal_markers, octree.cpp:853-949): start = plane center,
+    end = center + unit normal * length with length = 2 * quarter_edge
+    (= half the voxel edge at the leaf's level), shaft/head widths
+    0.1/0.2 * length, jet color by plane-covariance trace."""
+    keys = np.asarray(m.keys)
+    is_plane = (np.asarray(m.is_plane) & (keys != int(vh.EMPTY_KEY))
+                & (np.asarray(m.state) == 0))
+    idx = np.nonzero(is_plane)[0][:max_out]
+    center = np.asarray(m.plane_center)[idx]
+    normal = np.asarray(m.plane_normal)[idx]
+    normal = normal / np.maximum(
+        np.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    lv = np.asarray(vh.decode(np.asarray(m.keys)[idx])[0])
+    edge = float(params.voxel_size) / (2.0 ** lv)
+    length = edge / 2.0  # 2 * quater_length, octree.cpp:900
+    pvar = np.asarray(m.plane_var)[idx]
+    trace = np.clip(pvar[:, 0, 0] + pvar[:, 1, 1] + pvar[:, 2, 2], 0, max_trace)
+    color = map_jet((trace / max_trace) ** pow_num)
+    out = []
+    for k in range(len(idx)):
+        out.append({
+            "id": int(idx[k]),
+            "start": center[k].tolist(),
+            "end": (center[k] + normal[k] * length[k]).tolist(),
+            "shaft": 0.1 * float(length[k]),
+            "head": 0.2 * float(length[k]),
+            "color": color[k].tolist(),
+        })
+    return out
+
+
 def save_markers_json(path: str, m, params):
     with open(path, "w") as f:
-        json.dump({"planes": collect_plane_markers(m, params)}, f)
+        json.dump({"planes": collect_plane_markers(m, params),
+                   "normals": collect_normal_markers(m, params)}, f)

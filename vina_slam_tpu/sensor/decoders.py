@@ -70,23 +70,55 @@ def decode_velodyne(
         keep = _stride_blind(i, x * x + y * y + z * z, filter_num, blind_sq)
         return DecodedScan(np.stack([x, y, z], -1)[keep], inten[keep], t[keep].astype(np.float32), stamp)
 
-    # azimuth-unwrap reconstruction: yaw decreases at omega_l deg/s.
-    # Unwrap only over the valid subset (NaNs would poison np.unwrap).
-    ok = np.abs(x) >= 0.1
-    rel = np.full(n, np.nan)
-    if ok.any():
-        yaw_v = np.arctan2(y[ok], x[ok])
-        yaw_u = np.degrees(np.unwrap(yaw_v))
-        rel[ok] = (yaw_u[0] - yaw_u) / omega_deg_s
-    i = np.arange(n)
-    keep = (
-        ok
-        & _stride_blind(i, x * x + y * y + z * z, filter_num, blind_sq)
-        & (rel >= 0)
-        & (rel < 0.1)
-        & np.isfinite(rel)
-    )
-    return DecodedScan(np.stack([x, y, z], -1)[keep], inten[keep], rel[keep].astype(np.float32), stamp)
+    # azimuth-unwrap reconstruction: the EXACT bias/cool-down state machine
+    # of the reference (lidar_pointcloud_decoder.cpp:103-141), bit-matching
+    # the native fast path (csrc/decode.cpp:79-108). Sequential by nature
+    # (bias/cool/yaw_last thread through every point) — the native .so is
+    # the production path; this fallback trades speed for exact parity.
+    keep_idx, rels = _velodyne_unwrap_exact(
+        x, y, z, filter_num, blind_sq, omega_deg_s)
+    return DecodedScan(np.stack([x, y, z], -1)[keep_idx], inten[keep_idx],
+                       rels, stamp)
+
+
+def _velodyne_unwrap_exact(x, y, z, filter_num, blind_sq, omega_deg_s):
+    """Timestamp reconstruction state machine (decode.cpp:79-108 /
+    lidar_pointcloud_decoder.cpp:103-141): yaw in degrees relative to a
+    running 360-degree bias; a forward jump > 180 deg increments the bias
+    once per 1000-point cool-down window; residual jumps fold by +360."""
+    n = x.size
+    raw = np.degrees(np.arctan2(y.astype(np.float64), x.astype(np.float64)))
+    r2 = x * x + y * y + z * z
+    step = max(int(filter_num), 1)
+    keep_idx, rels = [], []
+    first = True
+    yaw0 = yaw_last = bias = 0.0
+    cool = 0
+    for i in range(n):
+        if abs(x[i]) < 0.1:
+            continue
+        yaw = raw[i] - bias
+        if first:
+            yaw0 = yaw_last = yaw
+            first = False
+        if r2[i] < blind_sq:
+            continue
+        if yaw - yaw_last > 180.0:
+            was = cool          # post-decrement: test old value
+            cool -= 1
+            if was <= 0:
+                bias += 360.0
+                yaw -= 360.0
+                cool = 1000
+        if abs(yaw - yaw_last) > 180.0:
+            yaw += 360.0
+        rel = (yaw0 - yaw) / omega_deg_s
+        yaw_last = yaw
+        if 0.0 <= rel < 0.1 and i % step == 0:
+            keep_idx.append(i)
+            rels.append(rel)
+    return (np.asarray(keep_idx, np.int64),
+            np.asarray(rels, np.float64).astype(np.float32))
 
 
 def decode_ouster(fields: dict, stamp: float, filter_num: int, blind_sq: float) -> DecodedScan:

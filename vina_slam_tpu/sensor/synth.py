@@ -131,16 +131,18 @@ def raycast(origins: np.ndarray, dirs: np.ndarray, patches: List[PlanePatch],
     for pl in patches:
         denom = dirs @ pl.n
         with np.errstate(divide="ignore", invalid="ignore"):
+            # inf/nan t values flow through hit/rel too — keep the whole
+            # chain inside the errstate guard and mask at the end
             tt = ((pl.q - origins) @ pl.n) / denom
-        hit = origins + tt[:, None] * dirs
-        rel = hit - pl.q
-        ok = (
-            (tt > 0.05)
-            & (tt < max_range)
-            & (np.abs(rel @ pl.u) <= pl.hu)
-            & (np.abs(rel @ pl.v) <= pl.hv)
-            & np.isfinite(tt)
-        )
+            hit = origins + tt[:, None] * dirs
+            rel = hit - pl.q
+            ok = (
+                (tt > 0.05)
+                & (tt < max_range)
+                & (np.abs(rel @ pl.u) <= pl.hu)
+                & (np.abs(rel @ pl.v) <= pl.hv)
+                & np.isfinite(tt)
+            )
         best = np.where(ok & (tt < best), tt, best)
     return best
 
@@ -195,6 +197,66 @@ def simulate_scan(
     return DecodedScan(P, np.zeros(len(P), np.float32), T, t0)
 
 
+def simulate_events(
+    duration: float = 10.0,
+    scan_hz: float = 10.0,
+    imu_hz: float = 200.0,
+    traj: Trajectory | None = None,
+    patches: List[PlanePatch] | None = None,
+    n_az: int = 360,
+    n_el: int = 16,
+    noise: float = 0.0,
+    imu_noise_gyr: float = 0.0,
+    imu_noise_acc: float = 0.0,
+    seed: int = 0,
+    ext_R=None,
+    ext_p=None,
+    start_time: float = 10.0,
+    static_lead: float = 1.0,
+):
+    """Raw time-ordered sensor events BEFORE frame assembly: a list of
+    ("imu", t, gyr, acc_gunits) and ("scan", DecodedScan) entries plus
+    ground truth [(t, R, p)] at scan-end times. Feed to a FrameAssembler
+    (simulate_sequence) or serialize into a rosbag2 via
+    platform/rosbag_write.write_sequence_bag (the PARITY_RUNS path)."""
+    traj = traj or Trajectory()
+    patches = patches if patches is not None else default_world()
+    rng = np.random.default_rng(seed)
+
+    out, gts = [], []
+    t_imu = start_time - static_lead
+    imu_dt = 1.0 / imu_hz
+    scan_dt = 1.0 / scan_hz
+    n_scans = int(duration * scan_hz)
+    scan_starts = start_time + scan_dt * np.arange(n_scans)
+
+    events = [(t, "imu") for t in np.arange(t_imu, start_time + duration + 0.2, imu_dt)]
+    events += [(t, "scan") for t in scan_starts]
+    events.sort(key=lambda e: (e[0], e[1] == "imu"))
+
+    span = min(0.1, scan_dt)
+    for t, kind in events:
+        if kind == "imu":
+            tau = max(t - start_time, 0.0)  # trajectory time (ramped)
+            gyr, acc = imu_sample(traj, tau)
+            if imu_noise_gyr > 0:
+                gyr = gyr + rng.normal(scale=imu_noise_gyr, size=3)
+            if imu_noise_acc > 0:
+                acc = acc + rng.normal(scale=imu_noise_acc, size=3)
+            out.append(("imu", t, gyr, acc / G_M_S2))  # g-unit IMU like Livox
+        else:
+            tau = t - start_time
+            scan = simulate_scan(
+                traj, tau, patches, n_az=n_az, n_el=n_el, span=span,
+                ext_R=ext_R, ext_p=ext_p, noise=noise, rng=rng,
+            )
+            scan.stamp = t
+            out.append(("scan", scan))
+            R, p = traj.pose(tau + span)
+            gts.append((t + span, R, p))
+    return out, gts
+
+
 def simulate_sequence(
     duration: float = 10.0,
     scan_hz: float = 10.0,
@@ -219,44 +281,19 @@ def simulate_sequence(
     static_lead seconds of pure static IMU precede the first scan so the
     EKF's static init (imu_ekf.cpp:147-201, >=30 samples) has data.
     """
-    traj = traj or Trajectory()
-    patches = patches if patches is not None else default_world()
-    rng = np.random.default_rng(seed)
-
+    events, gts = simulate_events(
+        duration=duration, scan_hz=scan_hz, imu_hz=imu_hz, traj=traj,
+        patches=patches, n_az=n_az, n_el=n_el, noise=noise,
+        imu_noise_gyr=imu_noise_gyr, imu_noise_acc=imu_noise_acc, seed=seed,
+        ext_R=ext_R, ext_p=ext_p, start_time=start_time,
+        static_lead=static_lead)
     asm = FrameAssembler()
-    frames, gts = [], []
-
-    # static IMU lead-in (trajectory ramp keeps t<ramp near-static)
-    t_imu = start_time - static_lead
-    imu_dt = 1.0 / imu_hz
-    scan_dt = 1.0 / scan_hz
-    n_scans = int(duration * scan_hz)
-    scan_starts = start_time + scan_dt * np.arange(n_scans)
-
-    events = [(t, "imu") for t in np.arange(t_imu, start_time + duration + 0.2, imu_dt)]
-    events += [(t, "scan") for t in scan_starts]
-    events.sort(key=lambda e: (e[0], e[1] == "imu"))
-
-    span = min(0.1, scan_dt)
-    for t, kind in events:
-        if kind == "imu":
-            tau = max(t - start_time, 0.0)  # trajectory time (ramped)
-            gyr, acc = imu_sample(traj, tau)
-            if imu_noise_gyr > 0:
-                gyr = gyr + rng.normal(scale=imu_noise_gyr, size=3)
-            if imu_noise_acc > 0:
-                acc = acc + rng.normal(scale=imu_noise_acc, size=3)
-            asm.push_imu(t, gyr, acc / G_M_S2)  # g-unit IMU like Livox
+    frames = []
+    for ev in events:
+        if ev[0] == "imu":
+            asm.push_imu(ev[1], ev[2], ev[3])
         else:
-            tau = t - start_time
-            scan = simulate_scan(
-                traj, tau, patches, n_az=n_az, n_el=n_el, span=span,
-                ext_R=ext_R, ext_p=ext_p, noise=noise, rng=rng,
-            )
-            scan.stamp = t
-            asm.push_scan(scan)
-            R, p = traj.pose(tau + span)
-            gts.append((t + span, R, p))
+            asm.push_scan(ev[1])
         f = asm.try_assemble()
         if f is not None:
             frames.append(f)
