@@ -141,10 +141,12 @@ class LMResult(NamedTuple):
     iters: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("W", "max_iter", "use_normal", "with_gravity", "use_imu"))
+@partial(jax.jit, static_argnames=("W", "max_iter", "use_normal",
+                                   "with_gravity", "use_imu", "axis_name"))
 def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
                  W: int, max_iter: int = 10, use_normal: bool = False,
-                 with_gravity: bool = False, use_imu: bool = True) -> LMResult:
+                 with_gravity: bool = False, use_imu: bool = True,
+                 axis_name: str | None = None) -> LMResult:
     """The LM driver covering all three reference optimizers:
       use_imu=False                  -> Lidar_BA_Optimizer (6-DoF semantics;
                                         run in the 15-DoF layout with the
@@ -154,9 +156,20 @@ def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
       with_gravity=True              -> LI_BA_OptimizerGravity (cpp:746)
 
     Gauge fixing: first pose rows/cols zeroed, identity block (cpp:460-463);
-    gravity variant fixes only the first 6 DoF (cpp:772-775)."""
+    gravity variant fixes only the first 6 DoF (cpp:772-775).
+
+    axis_name: when run inside shard_map with the factor arrays sharded over
+    a mesh axis (parallel/mesh.sharded_damping_iter), the per-shard lidar/
+    normal factor evaluations are psum-reduced over that axis — the TPU ICI
+    analog of the reference's per-thread Hessian join (optimizers.cpp:36-56).
+    Window states, IMU factors, and the LM control flow stay replicated."""
     L = W * DIM + (3 if with_gravity else 0)
     gauge = 6 if with_gravity else DIM
+
+    def _reduce(*vals):
+        if axis_name is None:
+            return vals
+        return tuple(jax.lax.psum(v, axis_name) for v in vals)
 
     def total_eval(w_, pre_f_, jac):
         H = jnp.zeros((L, L), jnp.float64)
@@ -168,21 +181,23 @@ def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
             H += imu_coef * H_imu
             g += imu_coef * g_imu
         if jac:
-            r_l, g6, H6 = fx.lidar_acc(lidar_f, w_.R, w_.p, W)
+            r_l, g6, H6 = _reduce(*fx.lidar_acc(lidar_f, w_.R, w_.p, W))
             Hl, gl = _lift6_to_full(H6, g6, W, L)
             H += Hl
             g += gl
             res += r_l
             if use_normal:
-                r_n, g6n, H6n = fx.normal_acc(lidar_f, w_.R, w_.p, W)
+                r_n, g6n, H6n = _reduce(*fx.normal_acc(lidar_f, w_.R, w_.p, W))
                 Hn, gn = _lift6_to_full(H6n, g6n, W, L)
                 H += Hn
                 g += gn
                 res += r_n
         else:
-            res += fx.lidar_residual(lidar_f, w_.R, w_.p)
+            (r_l,) = _reduce(fx.lidar_residual(lidar_f, w_.R, w_.p))
+            res += r_l
             if use_normal:
-                res += fx.normal_residual(lidar_f, w_.R, w_.p)
+                (r_n,) = _reduce(fx.normal_residual(lidar_f, w_.R, w_.p))
+                res += r_n
         return res, H, g
 
     res0, H0, g0 = total_eval(w, pre_f, True)

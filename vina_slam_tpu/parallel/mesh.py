@@ -39,10 +39,27 @@ except ImportError:  # pragma: no cover
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "dp",
+              devices=None) -> Mesh:
+    """Build a 1-D mesh. `devices` overrides the platform default — pass
+    jax.devices("cpu") to validate shardings on a virtual host mesh without
+    touching an attached accelerator."""
+    devs = devices if devices is not None else jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(f"mesh wants {n} devices, only {len(devs)} present")
     return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def factor_spec():
+    """PartitionSpec pytree sharding BAFactors voxel arrays over 'dp'."""
+    from vina_slam_tpu.mapping import factors as fx
+
+    return fx.BAFactors(
+        Pb=P("dp"), vb=P("dp"), Nb=P("dp"), fix_P=P("dp"), fix_v=P("dp"),
+        fix_N=P("dp"), centers=P("dp"), n_ref=P("dp"), coe=P("dp"),
+        n_valid=P(),
+    )
 
 
 def sharded_point_accumulate(mesh: Mesh, match_fn):
@@ -80,9 +97,27 @@ def sharded_lidar_acc(mesh: Mesh, W: int):
         return (jax.lax.psum(res, "dp"), jax.lax.psum(JacT, "dp"),
                 jax.lax.psum(H, "dp"))
 
-    fspec = fx.BAFactors(
-        Pb=P("dp"), vb=P("dp"), Nb=P("dp"), fix_P=P("dp"), fix_v=P("dp"),
-        fix_N=P("dp"), centers=P("dp"), n_ref=P("dp"), coe=P("dp"),
-        n_valid=P(),
-    )
-    return shard_map(local, mesh, in_specs=(fspec, P(), P()), out_specs=(P(), P(), P()))
+    return shard_map(local, mesh, in_specs=(factor_spec(), P(), P()),
+                     out_specs=(P(), P(), P()))
+
+
+def sharded_damping_iter(mesh: Mesh, W: int, max_iter: int = 10,
+                         use_normal: bool = False):
+    """The REAL windowed-BA LM driver (ba.damping_iter) with its lidar/
+    normal factor evaluations sharded over the mesh 'dp' axis: each device
+    holds a voxel slice of the BAFactors arrays, evaluates its slice inside
+    every LM iteration, and the (residual, gradient, Hessian) are psum-
+    reduced over ICI before the replicated damped solve (the reference's
+    divide_thread join, optimizers.cpp:204-242, as collectives).
+
+    Returns a function (w, factors_sharded, pre_f, imu_coef) -> LMResult
+    with all outputs replicated."""
+    from vina_slam_tpu.mapping import ba
+
+    def local(w, f, pre_f, imu_coef):
+        return ba.damping_iter(w, f, pre_f, imu_coef, W, max_iter=max_iter,
+                               use_normal=use_normal, axis_name="dp")
+
+    return shard_map(local, mesh,
+                     in_specs=(P(), factor_spec(), P(), P()),
+                     out_specs=P())
