@@ -133,7 +133,10 @@ def main():
             r0.ms, r0.W, cfg.tpu.max_voxels_ba, r0._cfgs)
 
         def batch_args(i):
-            per = [r.fused_args(fl[i]) for r, fl in zip(runners, rests)]
+            # force one bucket so per-sequence IMU arrays stack
+            from vina_slam_tpu.core.constants import IMU_BUCKET
+            per = [r.fused_args(fl[i], imu_bucket=IMU_BUCKET)
+                   for r, fl in zip(runners, rests)]
             assert all(a is not None for a in per)
             return jax.tree_util.tree_map(lambda *x: jnp.stack(x), *per)
 

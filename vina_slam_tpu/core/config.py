@@ -85,6 +85,15 @@ class TpuConfig:
     max_voxels_ba: int = 4096          # padded voxel count per BA extract
     max_new_voxels: int = 4096         # new hash insertions per step
     probe_len: int = 8                 # linear-probe window
+    # compaction caps for the recut/margi hot path: refit/redistribution work
+    # is gathered to these sizes, so they bound per-wave cost. Size them to
+    # the leaves one window actually touches (~2-3k at default densities) —
+    # oversizing directly multiplies recut/margi time (eigh3 etc. run on the
+    # padded compacted arrays). Overflow degrades gracefully (stragglers
+    # caught next wave / next scan).
+    active_cap: int = 4096             # leaves refit per recut/margi wave
+    refind_cap: int = 4096             # cache-miss points re-descended/wave
+    pool_move_cap: int = 2048          # pool points redistributed per wave
     scan_dtype: str = "float32"
     solve_dtype: str = "float64"
 

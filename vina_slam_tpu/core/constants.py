@@ -28,5 +28,8 @@ I32 = np.int32
 # compiled XLA program (BASELINE.md "compile stability" target).
 SCAN_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536, 131072)
 IMU_BUCKET = 128         # max IMU samples per scan interval (10 Hz scan, up to 1 kHz IMU)
+IMU_BUCKETS = (32, IMU_BUCKET)  # pad-to-bucket sizes: a 200 Hz IMU yields ~21
+                                # samples/scan; the log-depth scans over the
+                                # bucket cost ~linearly in bucket width
 
 EMPTY_SLOT = -1          # sentinel for unoccupied hash slots / invalid indices

@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from vina_slam_tpu.core.mat3 import bmm
+
 _TINY = 1e-30
 
 
@@ -74,7 +76,7 @@ def _eigvec(A, wa, wb, degenerate, default):
     """Eigenvector for the eigenvalue that is neither wa nor wb: columns of
     (A - wa I)(A - wb I) span it (Cayley-Hamilton)."""
     eye = jnp.eye(3, dtype=A.dtype)
-    M = (A - wa[..., None, None] * eye) @ (A - wb[..., None, None] * eye)
+    M = bmm(A - wa[..., None, None] * eye, A - wb[..., None, None] * eye)
     norms = jnp.sum(M * M, axis=-2)  # (..., 3) squared column norms
     idx = jnp.argmax(norms, axis=-1)
     v = jnp.take_along_axis(M, idx[..., None, None], axis=-1)[..., 0]

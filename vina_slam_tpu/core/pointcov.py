@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from vina_slam_tpu.core import so3
+from vina_slam_tpu.core.mat3 import bmm, bmmT, sandwich
 
 
 def body_var(pts: jnp.ndarray, dept_err: float, beam_err_deg: float) -> jnp.ndarray:
@@ -41,10 +42,10 @@ def body_var(pts: jnp.ndarray, dept_err: float, beam_err_deg: float) -> jnp.ndar
 
     dhat = so3.hat(d)
     Nmat = jnp.stack([b1, b2], axis=-1)  # (..., 3, 2)
-    A = rng[..., None, None] * (dhat @ Nmat)  # (..., 3, 2)
+    A = rng[..., None, None] * bmm(dhat, Nmat)  # (..., 3, 2)
 
     ddT = d[..., :, None] * d[..., None, :]
-    return range_var * ddT + dir_var * (A @ jnp.swapaxes(A, -1, -2))
+    return range_var * ddT + dir_var * bmmT(A, A)
 
 
 def var_init(ext_R, ext_p, pts_lidar, dept_err, beam_err_deg):
@@ -52,7 +53,7 @@ def var_init(ext_R, ext_p, pts_lidar, dept_err, beam_err_deg):
     points + covariances. Returns (pts_imu, var_imu)."""
     var = body_var(pts_lidar, dept_err, beam_err_deg)
     pts = pts_lidar @ ext_R.T + ext_p
-    var = jnp.einsum("ij,...jk,lk->...il", ext_R, var, ext_R)
+    var = sandwich(jnp.broadcast_to(ext_R, var.shape), var)
     return pts, var
 
 
@@ -65,9 +66,10 @@ def world_var(pts_body, var_body, R, p, cov15):
     rot_var = cov15[0:3, 0:3].astype(pts_body.dtype)
     tsl_var = cov15[3:6, 3:6].astype(pts_body.dtype)
     phat = so3.hat(pts_body)
+    R32 = R.astype(pts_body.dtype)
     var_w = (
-        jnp.einsum("ij,...jk,lk->...il", R.astype(pts_body.dtype), var_body, R.astype(pts_body.dtype))
-        + phat @ rot_var @ jnp.swapaxes(phat, -1, -2)
+        sandwich(jnp.broadcast_to(R32, var_body.shape), var_body)
+        + sandwich(phat, jnp.broadcast_to(rot_var, var_body.shape))
         + tsl_var
     )
     pts_w = pts_body @ R.T.astype(pts_body.dtype) + p.astype(pts_body.dtype)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from vina_slam_tpu.core.mat3 import bmm
+
 _EPS = 1e-9
 
 
@@ -43,7 +45,7 @@ def exp(ang: jnp.ndarray) -> jnp.ndarray:
     sq, theta = _safe_norm(ang)
     small = sq < _EPS * _EPS
     K = hat(ang)  # = theta * hat(axis)
-    KK = K @ K
+    KK = bmm(K, K)  # batched tiny matmul: VPU broadcast-sum, not dot_general
     st = jnp.sin(theta) / theta
     ct = (1.0 - jnp.cos(theta)) / (theta * theta)
     # Taylor: sin(t)/t ~ 1 - t^2/6 ; (1-cos t)/t^2 ~ 1/2 - t^2/24

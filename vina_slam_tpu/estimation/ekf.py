@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vina_slam_tpu.core import so3
-from vina_slam_tpu.core.constants import DIM, G_M_S2, IMU_BUCKET
+from vina_slam_tpu.core.constants import DIM, G_M_S2, IMU_BUCKET, IMU_BUCKETS
+from vina_slam_tpu.core.mat3 import bmm, bmv, sandwich
 from vina_slam_tpu.core.state import NavState
 from vina_slam_tpu.sensor.sync import ImuBlock
 
@@ -56,14 +57,11 @@ def _propagate(
     a = avr_acc * scale_gravity - ba[None, :]       # (K, 3)
     E = so3.exp(w * dtc[:, None])                   # (K, 3, 3)
 
-    def mm(x, y):
-        return jnp.einsum("...ij,...jk->...ik", x, y)
-
-    P_incl = jax.lax.associative_scan(mm, E)        # E0 @ ... @ Ei
-    R_incl = jnp.einsum("ij,kjl->kil", R0, P_incl)
+    P_incl = jax.lax.associative_scan(bmm, E)       # E0 @ ... @ Ei
+    R_incl = bmm(jnp.broadcast_to(R0, P_incl.shape), P_incl)
     R_excl = jnp.concatenate([R0[None], R_incl[:-1]], axis=0)
 
-    acc_w = jnp.einsum("kij,kj->ki", R_excl, a) + g[None, :]
+    acc_w = bmv(R_excl, a) + g[None, :]
     dv = acc_w * dtc[:, None]
     v_incl = v0[None, :] + jnp.cumsum(dv, axis=0)
     v_excl = jnp.concatenate([v0[None], v_incl[:-1]], axis=0)
@@ -79,25 +77,24 @@ def _propagate(
     F = F.at[:, 0:3, 0:3].set(so3.exp(-w * dtc[:, None]).astype(f32))
     F = F.at[:, 0:3, 9:12].set(-I3 * dt32)
     F = F.at[:, 3:6, 6:9].set(I3 * dt32)
-    F = F.at[:, 6:9, 0:3].set((-jnp.einsum(
-        "kij,kjl->kil", R_excl, so3.hat(a))).astype(f32) * dt32)
+    F = F.at[:, 6:9, 0:3].set((-bmm(R_excl, so3.hat(a))).astype(f32) * dt32)
     F = F.at[:, 6:9, 12:15].set(-Rf * dt32)
     dt322 = dt32 * dt32
     Q = jnp.zeros((K, DIM, DIM), f32)
     Q = Q.at[:, 0:3, 0:3].set(jnp.diag(cov_gyr).astype(f32) * dt322)
     Q = Q.at[:, 6:9, 6:9].set(
-        jnp.einsum("kij,jl,kml->kim", Rf, jnp.diag(cov_acc).astype(f32), Rf)
-        * dt322)
+        sandwich(Rf, jnp.broadcast_to(jnp.diag(cov_acc).astype(f32),
+                                      Rf.shape)) * dt322)
     Q = Q.at[:, 9:12, 9:12].set(jnp.diag(cov_bg).astype(f32) * dt322)
     Q = Q.at[:, 12:15, 12:15].set(jnp.diag(cov_ba).astype(f32) * dt322)
 
     def comp(c1, c2):  # apply c1 first, then c2
         F1, Q1 = c1
         F2, Q2 = c2
-        return mm(F2, F1), mm(mm(F2, Q1), jnp.swapaxes(F2, -1, -2)) + Q2
+        return bmm(F2, F1), sandwich(F2, Q1) + Q2
 
     Fc, Qc = jax.lax.associative_scan(comp, (F, Q))
-    cov = (mm(mm(Fc[-1], cov0.astype(f32)), Fc[-1].T) + Qc[-1]).astype(cov0.dtype)
+    cov = (Fc[-1] @ cov0.astype(f32) @ Fc[-1].T + Qc[-1]).astype(cov0.dtype)
     cov = 0.5 * (cov + cov.T)   # exact symmetry for downstream Cholesky
 
     R, p, v = R_incl[-1], p_incl[-1], v_incl[-1]
@@ -119,7 +116,13 @@ def _deskew(pts, rel_time, valid_pts, pose_table, offt, n_valid, R_end, p_end, e
     """Backward deskew into the scan-end LiDAR frame (imu_ekf.cpp:111-144),
     vectorized: per point find its covering interval, compose the pose at its
     stamp, and map through the extrinsic. Points earlier than the first pose
-    entry keep their raw coordinates (reference loop never reaches them)."""
+    entry keep their raw coordinates (reference loop never reaches them).
+
+    Precision: the K-entry pose table composes in f64; the PER-POINT math
+    runs in f32 on world-relative quantities (T_ei = position relative to
+    scan end is centimeters over one 0.1 s sweep; point coords < few hundred
+    m), where f32 keeps ~1e-5 m — far below sensor noise. f64 per-point ops
+    are emulated ~20x slower on TPU and dominated this stage."""
     Rt, pt, vt, wt, at = pose_table
     f32 = pts.dtype
     # idx of last pose with offt <= t  (reference: curvature > head.t);
@@ -131,23 +134,47 @@ def _deskew(pts, rel_time, valid_pts, pose_table, offt, n_valid, R_end, p_end, e
     # only compensate where a pose entry exists and is within the valid range
     compensate = (idx >= 0) & (idx < n_valid) & valid_pts
 
-    dt = (rel_time - offt[idx_c]).astype(jnp.float64)
-    R_i = Rt[idx_c] @ so3.exp(wt[idx_c] * dt[:, None])
-    T_ei = pt[idx_c] + vt[idx_c] * dt[:, None] + 0.5 * at[idx_c] * dt[:, None] ** 2 - p_end
+    # per-interval table in f64 (K ~ 100 entries, cheap), gathered as f32
+    Rt_e = bmm(jnp.broadcast_to(R_end.T, Rt.shape), Rt)      # R_end^T R_k
+    pt_e = (pt - p_end) @ R_end                               # in end-IMU frame
+    vt_e = vt @ R_end
+    at_e = at @ R_end
 
-    P = pts.astype(jnp.float64)
-    P_imu = P @ ext_R.T + ext_p
-    P_w_rel = jnp.einsum("nij,nj->ni", R_i, P_imu) + T_ei
-    P_endimu = P_w_rel @ R_end  # == R_end^T applied row-wise
-    P_out = (P_endimu - ext_p) @ ext_R
-    out = jnp.where(compensate[:, None], P_out, P)
+    dt = (rel_time - offt[idx_c].astype(rel_time.dtype)).astype(f32)
+    R_i = bmm(Rt_e[idx_c].astype(f32),
+              so3.exp(wt[idx_c].astype(f32) * dt[:, None]))
+    T_ei = (pt_e[idx_c].astype(f32) + vt_e[idx_c].astype(f32) * dt[:, None]
+            + 0.5 * at_e[idx_c].astype(f32) * (dt * dt)[:, None])
+
+    ext_R32 = ext_R.astype(f32)
+    ext_p32 = ext_p.astype(f32)
+    P_imu = pts @ ext_R32.T + ext_p32
+    P_endimu = bmv(R_i, P_imu) + T_ei
+    P_out = (P_endimu - ext_p32) @ ext_R32
+    out = jnp.where(compensate[:, None], P_out, pts)
     return out.astype(f32)
 
 
-def build_intervals(last_imu, last_pcl_end_time, beg_time, end_time, imu: ImuBlock):
+def pick_imu_bucket(n: int, bucket: int | None = None) -> int:
+    """Smallest IMU pad bucket covering n samples (fused-path shapes
+    compile once per bucket; the associative scans cost ~linearly in
+    bucket width, so a 200 Hz IMU should ride the 32 bucket)."""
+    if bucket is not None:
+        if n > bucket:
+            raise RuntimeError(f"IMU bucket overflow: {n} > {bucket}")
+        return bucket
+    for b in IMU_BUCKETS:
+        if n <= b:
+            return b
+    raise RuntimeError(f"IMU bucket overflow: {n} > {IMU_BUCKETS[-1]}")
+
+
+def build_intervals(last_imu, last_pcl_end_time, beg_time, end_time,
+                    imu: ImuBlock, bucket: int | None = None):
     """Host-side interval preconditioning shared by the modular and fused
     paths (imu_ekf.cpp:33-62 semantics): prepend last_imu, skip pre-scan
-    samples, midpoint gyro/acc, dt and offsets, padded to IMU_BUCKET.
+    samples, midpoint gyro/acc, dt and offsets, padded to the smallest
+    covering bucket (or `bucket` when forced, e.g. for multiseq stacking).
 
     Returns (arrays dict, cond ImuBlock, n_intervals)."""
     ts = np.concatenate([[last_imu[0]], imu.t])
@@ -163,10 +190,8 @@ def build_intervals(last_imu, last_pcl_end_time, beg_time, end_time, imu: ImuBlo
         avr_a.append(0.5 * (accs[i] + accs[i + 1]))
         dts.append(ts[i + 1] - cur)
         offts.append(cur - beg_time)
-    K = IMU_BUCKET
     n = len(dts)
-    if n > K:
-        raise RuntimeError(f"IMU bucket overflow: {n} > {K}")
+    K = pick_imu_bucket(n, bucket)
 
     def pad(a, shape=()):
         out = np.zeros((K,) + shape)
@@ -190,14 +215,12 @@ def build_intervals(last_imu, last_pcl_end_time, beg_time, end_time, imu: ImuBlo
     return arrays, cond, n
 
 
-def midpoint_arrays(imu: ImuBlock):
+def midpoint_arrays(imu: ImuBlock, bucket: int | None = None):
     """Preintegration midpoint arrays (push_imu preamble,
-    imu_preintegration.cpp:36-54), padded to IMU_BUCKET."""
-    K = IMU_BUCKET
+    imu_preintegration.cpp:36-54), padded to the smallest covering bucket."""
     t, g, a = imu.t, imu.gyr, imu.acc
     n = len(t) - 1
-    if n > K:
-        raise RuntimeError(f"IMU bucket overflow: {n} > {K}")
+    K = pick_imu_bucket(n, bucket)
     gm = np.zeros((K, 3))
     am = np.zeros((K, 3))
     dt = np.zeros(K)

@@ -18,6 +18,7 @@ import numpy as np
 
 from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM, IMU_BUCKET
+from vina_slam_tpu.core.mat3 import bmm, bmv, sandwich
 from vina_slam_tpu.core.linalg import inv_psd
 from vina_slam_tpu.core.state import NavState
 from vina_slam_tpu.sensor.sync import ImuBlock
@@ -79,28 +80,25 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
     jrk = so3.jr(w * dtc[:, None])                   # (K, 3, 3) right Jacobian
     a_skew = so3.hat(a)
 
-    def mm(x, y):
-        return jnp.einsum("...ij,...jk->...ik", x, y)
-
-    Rd_incl = jax.lax.associative_scan(mm, E)        # DeltaR after step i
+    Rd_incl = jax.lax.associative_scan(bmm, E)       # DeltaR after step i
     eye3 = jnp.eye(3, dtype=E.dtype)
     Rd_excl = jnp.concatenate([eye3[None], Rd_incl[:-1]], axis=0)
 
     rot_dt = dtc[:, None, None] * Rd_excl
     rot_dt2_half = (0.5 * dtc * dtc)[:, None, None] * Rd_excl
 
-    dv = jnp.einsum("kij,kj->ki", rot_dt, a)
+    dv = bmv(rot_dt, a)
     v_incl = jnp.cumsum(dv, axis=0)
     v_excl = jnp.concatenate([jnp.zeros((1, 3), dv.dtype), v_incl[:-1]], axis=0)
-    dp = v_excl * dtc[:, None] + jnp.einsum("kij,kj->ki", rot_dt2_half, a)
+    dp = v_excl * dtc[:, None] + bmv(rot_dt2_half, a)
     p_incl = jnp.cumsum(dp, axis=0)
 
     # bias Jacobian: X' = Ja X + B with X0 = 0  =>  X_final = composed B
     Ja = jnp.broadcast_to(jnp.eye(9, dtype=E.dtype), (K, 9, 9))
     Ja = Ja.at[:, 0:3, 0:3].set(jnp.swapaxes(E, -1, -2))
-    Ja = Ja.at[:, 3:6, 0:3].set(-mm(rot_dt2_half, a_skew))
+    Ja = Ja.at[:, 3:6, 0:3].set(-bmm(rot_dt2_half, a_skew))
     Ja = Ja.at[:, 3:6, 6:9].set(eye3[None] * dtc[:, None, None])
-    Ja = Ja.at[:, 6:9, 0:3].set(-mm(rot_dt, a_skew))
+    Ja = Ja.at[:, 6:9, 0:3].set(-bmm(rot_dt, a_skew))
     B = jnp.zeros((K, 9, 6), E.dtype)
     B = B.at[:, 0:3, 0:3].set(-jrk * dtc[:, None, None])
     B = B.at[:, 3:6, 3:6].set(-rot_dt2_half)
@@ -109,7 +107,7 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
     def aff(c1, c2):  # apply c1 first, then c2
         A1, B1 = c1
         A2, B2 = c2
-        return mm(A2, A1), mm(A2, B1) + B2
+        return bmm(A2, A1), bmm(A2, B1) + B2
 
     _, Bc = jax.lax.associative_scan(aff, (Ja, B))
     J = Bc[-1]
@@ -120,12 +118,13 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
     Jb = Jb.at[:, 0:3, 0:3].set((jrk * dtc[:, None, None]).astype(f32))
     Jb = Jb.at[:, 3:6, 3:6].set(rot_dt2_half.astype(f32))
     Jb = Jb.at[:, 6:9, 3:6].set(rot_dt.astype(f32))
-    Qk = mm(mm(Jb, noise_meas.astype(f32)[None]), jnp.swapaxes(Jb, -1, -2))
+    Qk = sandwich(Jb, jnp.broadcast_to(noise_meas.astype(f32),
+                                       Jb.shape[:-2] + (6, 6)))
 
     def cov_comp(c1, c2):
         F1, Q1 = c1
         F2, Q2 = c2
-        return mm(F2, F1), mm(mm(F2, Q1), jnp.swapaxes(F2, -1, -2)) + Q2
+        return bmm(F2, F1), sandwich(F2, Q1) + Q2
 
     _, Qc = jax.lax.associative_scan(cov_comp, (Ja.astype(f32), Qk))
     dtime = jnp.sum(dtc)

@@ -78,8 +78,11 @@ def _imu_assemble(pre_f: pre.PreintFactor, w: WindowPoses, W: int,
         joc = jnp.concatenate([joca, jocb, jocg], axis=-1)   # (W-1, 15, 33)
     else:
         joc = jnp.concatenate([joca, jocb], axis=-1)         # (W-1, 15, 30)
-    jtj = jnp.einsum("eki,ekl,elj->eij", joc, cov_inv, joc)
-    jtr = jnp.einsum("eki,ekl,el->ei", joc, cov_inv, rr)
+    # batched tiny contractions (15-wide): broadcast-sum, not dot_general
+    cj = jnp.sum(cov_inv[..., :, :, None] * joc[..., None, :, :], axis=-2)
+    jtj = jnp.sum(joc[..., :, :, None] * cj[..., :, None, :], axis=-3)
+    jtr = jnp.sum(joc * jnp.sum(cov_inv * rr[..., None, :], axis=-1)[..., None],
+                  axis=-2)
 
     for i in range(W - 1):  # static unroll: W-1 block-placements
         H = H.at[i * DIM:(i + 2) * DIM, i * DIM:(i + 2) * DIM].add(
@@ -112,8 +115,9 @@ def _lift6_to_full(H6, g6, W, L):
 
 def _apply_step(w: WindowPoses, dxi, W, with_gravity):
     """Boxplus the LM step onto all window states (optimizers.cpp:468-475)."""
+    from vina_slam_tpu.core.mat3 import bmm
     d = dxi[: W * DIM].reshape(W, DIM)
-    R = jnp.einsum("wij,wjk->wik", w.R, so3.exp(d[:, 0:3]))
+    R = bmm(w.R, so3.exp(d[:, 0:3]))
     out = w._replace(R=R, p=w.p + d[:, 3:6], v=w.v + d[:, 6:9],
                      bg=w.bg + d[:, 9:12], ba=w.ba + d[:, 12:15])
     if with_gravity:
@@ -288,8 +292,9 @@ def damping_iter_lidar_only(w: WindowPoses, lidar_f: fx.BAFactors,
         D = jnp.diag(jnp.diag(Hf))
         dxi = solve_psd_refined(Hf + u * D, -gf)
         d = dxi.reshape(W, 6)
+        from vina_slam_tpu.core.mat3 import bmm as _bmm
         w_try = w_._replace(
-            R=jnp.einsum("wij,wjk->wik", w_.R, so3.exp(d[:, 0:3])),
+            R=_bmm(w_.R, so3.exp(d[:, 0:3])),
             p=w_.p + d[:, 3:6])
         q1 = 0.5 * jnp.dot(dxi, u * (D @ dxi) - gf)
         res2 = fx.lidar_residual(lidar_f, w_try.R, w_try.p)

@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from vina_slam_tpu.core.eigh3 import eigh3
+from vina_slam_tpu.core.mat3 import bmm, bmv, bvm, sandwich
 from vina_slam_tpu.mapping import voxel_hash as vh
 from vina_slam_tpu.mapping.voxel_map import MapParams, MapStatic, VoxelMap, slot_meta
 
@@ -120,9 +121,10 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
     Pc_w = Pr - Nb[..., None, None] * mean_rel[..., :, None] * mean_rel[..., None, :]
     R32 = Rs.astype(jnp.float32)
     p32 = ps.astype(jnp.float32)
-    Pc_b = jnp.einsum("wji,vwjk,wkl->vwil", R32, Pc_w, R32)
+    RT = jnp.swapaxes(R32, -1, -2)
+    Pc_b = sandwich(RT[None], Pc_w)                       # R^T Pc R
     mean_w = mean_rel + centers[:, None, :] - p32[None, :, :]
-    mean_b = jnp.einsum("wji,vwj->vwi", R32, mean_w)
+    mean_b = bvm(mean_w, R32[None])                       # R^T mean
 
     return BAFactors(
         Pb=Pc_b, vb=mean_b,
@@ -154,10 +156,10 @@ def _aggregate(f: BAFactors, Rs, ps):
     (equivalent to PointCluster::transform, types.hpp:168-174).
     Returns (P, v, N, t) with t = p_i - c_v (the shifted translations)."""
     t = ps[None, :, :] - f.centers[:, None, :]            # (V, W, 3)
-    u = jnp.einsum("wij,vwj->vwi", Rs, f.vb) + t          # (V, W, 3), small
+    u = bmv(Rs[None], f.vb) + t                           # (V, W, 3), small
     v_w = f.Nb[..., None] * u
     P_w = (
-        jnp.einsum("wij,vwjk,wlk->vwil", Rs, f.Pb, Rs)
+        sandwich(Rs[None], f.Pb)
         + f.Nb[..., None, None] * u[..., :, None] * u[..., None, :]
     )
     P = f.fix_P + jnp.sum(P_w, axis=1)
@@ -184,25 +186,26 @@ def _auk(f: BAFactors, Rs, t, uk, vbar, NN):
     m_ = f.vb                                             # body mean
     Ni = f.Nb
     vi = Ni[..., None] * m_                               # raw first moment
-    RiTuk = jnp.einsum("wji,vj->vwi", Rs, uk)             # R_i^T u_k
+    RiTuk = bvm(uk[:, None, :], Rs[None])                 # R_i^T u_k
     x = jnp.cross(vi, RiTuk)                              # vihat @ RiTuk
     # Pi RiTuk = Pc RiTuk + N m (m . RiTuk)
-    PiRiTuk = (jnp.einsum("vwij,vwj->vwi", f.Pb, RiTuk)
-               + vi * jnp.einsum("vwi,vwi->vw", m_, RiTuk)[..., None])
+    PiRiTuk = (bmv(f.Pb, RiTuk)
+               + vi * jnp.sum(m_ * RiTuk, axis=-1)[..., None])
     ti_v = t - vbar[:, None, :]                           # (V, W, 3)
-    ukTti_v = jnp.einsum("vi,vwi->vw", uk, ti_v)
+    ukTti_v = jnp.sum(uk[:, None, :] * ti_v, axis=-1)
     combo1 = _hat(PiRiTuk) + _hat(vi) * ukTti_v[..., None, None]
-    combo2 = jnp.einsum("wij,vwj->vwi", Rs, vi) + Ni[..., None] * ti_v
+    combo2 = bmv(Rs[None], vi) + Ni[..., None] * ti_v
     RiTukhat = _hat(RiTuk)
     # (Ri Pi + ti_v vi^T) = Ri Pc + (Ri m) (N m)^T + ti_v vi^T
-    Rm = jnp.einsum("wij,vwj->vwi", Rs, m_)
-    RiPi_plus = (jnp.einsum("wij,vwjk->vwik", Rs, f.Pb)
+    Rm = bmv(Rs[None], m_)
+    RiPi_plus = (bmm(jnp.broadcast_to(Rs[None], f.Pb.shape), f.Pb)
                  + Rm[..., :, None] * vi[..., None, :]
                  + ti_v[..., :, None] * vi[..., None, :])
-    A_rot = jnp.einsum("vwij,vwjk->vwik", RiPi_plus, RiTukhat)         - jnp.einsum("wij,vwjk->vwik", Rs, combo1)
+    A_rot = (bmm(RiPi_plus, RiTukhat)
+             - bmm(jnp.broadcast_to(Rs[None], combo1.shape), combo1))
     A_tsl = (
         combo2[..., :, None] * uk[:, None, None, :]
-        + jnp.einsum("vwi,vi->vw", combo2, uk)[..., None, None]
+        + jnp.sum(combo2 * uk[:, None, :], axis=-1)[..., None, None]
         * jnp.eye(3, dtype=dtype)
     )
     Auk = jnp.concatenate([A_rot, A_tsl], axis=-1) / NN[:, None, None, None]
@@ -222,9 +225,10 @@ def lidar_acc(f: BAFactors, Rs, ps, W: int):
     coe = f.coe
 
     gaps = lmbd[:, 0:1] - lmbd[:, 1:3]
-    umumT = jnp.einsum(
-        "vk,vik,vjk->vij", 2.0 / jnp.where(jnp.abs(gaps) < 1e-20, -1e-20, gaps),
-        U[..., :, 1:3], U[..., :, 1:3])
+    cgap = 2.0 / jnp.where(jnp.abs(gaps) < 1e-20, -1e-20, gaps)   # (V, 2)
+    Usub = U[..., :, 1:3]
+    umumT = jnp.sum(cgap[:, None, None, :]
+                    * Usub[..., :, None, :] * Usub[..., None, :, :], axis=-1)
 
     Auk, x, RiTuk, RiTukhat, combo1 = _auk(f, Rs, t, uk, vbar, NN)
     mask = active[..., None, None].astype(jnp.float32)
@@ -232,12 +236,12 @@ def lidar_acc(f: BAFactors, Rs, ps, W: int):
     x = x * active[..., None]
 
     # gradient: jjt = Auk^T uk per frame (cpp:85-86)
-    jjt = jnp.einsum("vwia,vi->vwa", Auk, uk)             # (V, W, 6)
+    jjt = jnp.sum(Auk * uk[:, None, :, None], axis=-2)    # (V, W, 6)
     JacT = jnp.einsum("v,vwa->wa", coe, jjt).reshape(W * 6)
 
     # main Hessian term over all frame pairs
     Abig = jnp.swapaxes(Auk, 1, 2).reshape(-1, 3, W * 6)  # (V, 3, 6W)
-    tmp = jnp.einsum("vij,vja->via", umumT, Abig) * coe[:, None, None]
+    tmp = bmm(umumT, Abig) * coe[:, None, None]
     H = jnp.einsum("via,vib->ab", Abig, tmp)
 
     # rank-1 cross correction  -(2 coe / NN^2) g g^T  (cpp:109-113 incl. the
@@ -251,10 +255,10 @@ def lidar_acc(f: BAFactors, Rs, ps, W: int):
     # RiTukhat @ Pi reconstructed: RiTukhat Pc - x m^T (since
     # hat(RiTuk) N m m^T = N (RiTuk x m) m^T = -x m^T)
     ukukT = uk[:, :, None] * uk[:, None, :]
-    RiTukhatPi = (jnp.einsum("vwij,vwjk->vwik", RiTukhat, f.Pb)
+    RiTukhatPi = (bmm(RiTukhat, f.Pb)
                   - x[..., :, None] * f.vb[..., None, :])
     d_rot = (2.0 / NN[:, None, None, None]) * (
-        jnp.einsum("vwij,vwjk->vwik", combo1 - RiTukhatPi, RiTukhat)
+        bmm(combo1 - RiTukhatPi, RiTukhat)
     ) - 0.5 * _hat(jjt[..., 0:3])
     d_rt = (2.0 / NN[:, None, None, None]) * x[..., :, None] * uk[:, None, None, :]
     d_tt = (2.0 * f.Nb / NN[:, None])[..., None, None] * ukukT[:, None]
@@ -291,20 +295,23 @@ def normal_acc(f: BAFactors, Rs, ps, W: int):
     coe = f.coe * has.astype(jnp.float32)
 
     S = jnp.eye(3, dtype=jnp.float32) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
-    r = jnp.einsum("vij,vj->vi", S, uk)
+    r = bmv(S, uk)
     residual = 0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))
 
     eps = 1e-9
     gaps = lmbd[:, 0:1] - lmbd[:, 1:3]
     gaps = jnp.where(jnp.abs(gaps) < eps, jnp.where(gaps >= 0, eps, -eps), gaps)
-    Tn = jnp.einsum("vik,vk,vjk->vij", U[..., :, 1:3], 1.0 / gaps, U[..., :, 1:3])
+    Usub = U[..., :, 1:3]
+    Tn = jnp.sum((1.0 / gaps)[:, None, None, :]
+                 * Usub[..., :, None, :] * Usub[..., None, :, :], axis=-1)
 
     Auk, _, _, _, _ = _auk(f, Rs, t, uk, vbar, NN)
     Auk = Auk * (f.Nb > 0)[..., None, None].astype(jnp.float32)
-    STn = jnp.einsum("vij,vjk->vik", S, Tn)
-    J = jnp.einsum("vij,vwja->vwia", STn, Auk)            # (V, W, 3, 6)
+    STn = bmm(S, Tn)
+    J = bmm(jnp.broadcast_to(STn[:, None], Auk.shape[:2] + (3, 3)), Auk)
 
-    JacT = jnp.einsum("v,vwia,vi->wa", coe, J, r).reshape(W * 6)
+    Jr = jnp.sum(J * r[:, None, :, None], axis=-2)        # (V, W, 6)
+    JacT = jnp.einsum("v,vwa->wa", coe, Jr).reshape(W * 6)
     Jbig = jnp.swapaxes(J, 1, 2).reshape(-1, 3, W * 6)
     H = jnp.einsum("via,vib->ab", Jbig * coe[:, None, None], Jbig)
     return (residual.astype(jnp.float64), JacT.astype(jnp.float64),
@@ -319,5 +326,5 @@ def normal_residual(f: BAFactors, Rs, ps):
     has = N > 0
     coe = f.coe * has.astype(jnp.float32)
     S = jnp.eye(3, dtype=jnp.float32) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
-    r = jnp.einsum("vij,vj->vi", S, uk)
+    r = bmv(S, uk)
     return (0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))).astype(jnp.float64)

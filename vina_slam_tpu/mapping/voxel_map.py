@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from vina_slam_tpu.core import cluster as cl
 from vina_slam_tpu.core import so3
+from vina_slam_tpu.core.mat3 import bmm, bmmT, bmv
 from vina_slam_tpu.core.eigh3 import eigh3
 from vina_slam_tpu.mapping import voxel_hash as vh
 
@@ -300,8 +301,8 @@ def _bf_var(var, rel):
         jnp.stack([zero, z, y], -1),
         jnp.stack([zero, zero, 2 * z], -1),
     ], -2)  # (..., 6, 3)
-    Biup = Bi @ var
-    top = jnp.concatenate([Biup @ jnp.swapaxes(Bi, -1, -2), Biup], axis=-1)  # (...,6,9)
+    Biup = bmm(Bi, var)
+    top = jnp.concatenate([bmmT(Biup, Bi), Biup], axis=-1)                   # (...,6,9)
     bot = jnp.concatenate([jnp.swapaxes(Biup, -1, -2), var], axis=-1)        # (...,3,9)
     return jnp.concatenate([top, bot], axis=-2)  # (..., 9, 9)
 
@@ -387,10 +388,10 @@ def _plane_judge(eig, level, params: MapParams):
 
 # ----------------------------------------------------------------- recut
 
-@partial(jax.jit, static_argnames=("ms", "win"))
+@partial(jax.jit, static_argnames=("ms", "win", "debug"))
 def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
           ms: MapStatic, win: int, jour, cached=None, win_var=None,
-          new_mask=None):
+          new_mask=None, debug: bool = False):
     """Re-fit planes / subdivide after pose updates.
 
     cached: optional (W, Np) i32 leaf slots from the previous recut (-1 =
@@ -550,10 +551,15 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         mm, lv, unf = refit(mm, s)
         return mm, pp, s, lv, w + 1, unf
 
-    m, pool, slots, levels_pt, _, _ = jax.lax.while_loop(
+    m, pool, slots, levels_pt, waves, _ = jax.lax.while_loop(
         w_cond, w_body,
         (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), unfinished))
 
+    if debug:
+        n_lost = jnp.sum(flat_v & (slots == -1))
+        n_full = jnp.sum(flat_v & (slots == -2))
+        return (m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np),
+                (waves, n_lost, n_full))
     return m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np)
 
 
@@ -580,8 +586,8 @@ def match_points(m: VoxelMap, wld, var_w, params: MapParams, ms: MapStatic):
     gate1 = range_dis <= 9.0 * radius
 
     J = jnp.concatenate([d, -n], axis=-1)  # (N, 6)
-    sigma_l = jnp.einsum("ni,nij,nj->n", J, pvar, J)
-    sigma_l = sigma_l + jnp.einsum("ni,nij,nj->n", n, var_w, n)
+    sigma_l = jnp.sum(bmv(pvar, J) * J, axis=-1)
+    sigma_l = sigma_l + jnp.sum(bmv(var_w, n) * n, axis=-1)
     gate2 = dis_to_plane < 3.0 * jnp.sqrt(jnp.maximum(sigma_l, 0.0))
 
     ok = found & gate1 & gate2
@@ -613,7 +619,7 @@ def match_neighbors(m: VoxelMap, wld, params: MapParams, ms: MapStatic,
     dis_to_plane = jnp.abs(jnp.sum(n * d, axis=-1))
     range_dis = jnp.sum(d * d, axis=-1) - dis_to_plane**2
     J = jnp.concatenate([d, -n], axis=-1)
-    sigma_l = jnp.einsum("ski,skij,skj->sk", J, pvar, J)
+    sigma_l = jnp.sum(bmv(pvar, J) * J, axis=-1)
     sigma_l = sigma_l + var_dummy * jnp.sum(n * n, axis=-1)
     ok = found & (range_dis <= 9.0 * radius) & (dis_to_plane < 3.0 * jnp.sqrt(jnp.maximum(sigma_l, 0)))
 
@@ -657,8 +663,8 @@ def _plane_update(tot: cl.Cluster, cov_add, eig_w, eig_V, centers):
         denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
         u_c = u_c + (nv / denom)[..., None, None] * u[k][..., :, None] * fkl[..., None, :]
 
-    Jc = jnp.einsum("...ik,...kl->...il", u_c, cov_add)     # (..., 3, 9)
-    var_nn = jnp.einsum("...ik,...jk->...ij", Jc, u_c)
+    Jc = bmm(u_c, cov_add)                                  # (..., 3, 9)
+    var_nn = bmmT(Jc, u_c)
     Jc_N = nv[..., None, None] * Jc[..., :, 6:9]
     var_cc = (nv * nv)[..., None, None] * cov_add[..., 6:9, 6:9]
     top = jnp.concatenate([var_nn, Jc_N], axis=-1)

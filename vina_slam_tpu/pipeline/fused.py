@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vina_slam_tpu.core import pointcov, so3
+from vina_slam_tpu.core.mat3 import bmv
 from vina_slam_tpu.core.constants import DIM, IMU_BUCKET
 from vina_slam_tpu.core.state import NavState
 from vina_slam_tpu.estimation import ekf as ekf_mod
@@ -179,7 +180,7 @@ def steady_step(
     # ---------------- map recut + factor extraction ----------------
     R32 = xs.R.astype(jnp.float32)
     p32 = xs.p.astype(jnp.float32)
-    win_w = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
+    win_w = bmv(R32[:, None], win_pts) + p32[:, None, :]
     win_w = jnp.where(win_valid[..., None], win_w, 1e7)
     win_slots_hint = _set_frame(st.win_slots, i,
                                 jnp.full(st.win_slots.shape[1:], -1, jnp.int32))
@@ -222,7 +223,7 @@ def steady_step(
 
         R32 = xs.R.astype(jnp.float32)
         p32 = xs.p.astype(jnp.float32)
-        ww = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
+        ww = bmv(R32[:, None], win_pts) + p32[:, None, :]
         ww = jnp.where(win_valid[..., None], ww, 1e7)
         m, pool = vm.margi(m, pool, slots, ww, win_var, win_valid, params, ms,
                            jour, mgsize=1)

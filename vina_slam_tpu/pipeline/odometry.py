@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM, NMATCH
+from vina_slam_tpu.core.mat3 import bmm, bmv, sandwich
 from vina_slam_tpu.core.eigh3 import eigh3
 from vina_slam_tpu.core.state import NavState
 from vina_slam_tpu.core.linalg import inv_psd_refined as inv_psd
@@ -151,8 +152,8 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
         tsl_var = x_c.cov[3:6, 3:6].astype(f32)
 
         var_world = (
-            jnp.einsum("ij,njk,lk->nil", R32, var_body, R32)
-            + phat @ rot_var @ jnp.swapaxes(phat, -1, -2)
+            sandwich(jnp.broadcast_to(R32, var_body.shape), var_body)
+            + sandwich(phat, jnp.broadcast_to(rot_var, var_body.shape))
             + tsl_var
         )
         wld = pts_body @ R32.T + p32
@@ -161,7 +162,7 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
 
         w_r = jnp.where(ok, 1.0 / (0.0005 + sigma_d), 0.0)
         resi = jnp.sum(nrm * (wld - ctr), axis=-1)
-        jac_rot = jnp.einsum("nij,jk,nk->ni", phat, R32.T, nrm)
+        jac_rot = bmv(phat, nrm @ R32)
         jac = jnp.concatenate([jac_rot, nrm], axis=-1).astype(jnp.float64)
         w64 = w_r.astype(jnp.float64)
         HTH = jnp.einsum("n,ni,nj->ij", w64, jac, jac)
@@ -180,8 +181,9 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
             dot = jnp.abs(jnp.sum(n_w * n_map, axis=-1))
             use = sp.valid & found & (dot >= 0.7)
             S = jnp.eye(3, dtype=f32) - n_map[:, :, None] * n_map[:, None, :]
-            r = jnp.einsum("sij,sj->si", S, n_w)
-            Jr = -jnp.einsum("sij,jk,skl->sil", S, R32, so3.hat(sp.normal))
+            r = bmv(S, n_w)
+            hn = so3.hat(sp.normal)
+            Jr = -bmm(S, bmm(jnp.broadcast_to(R32, hn.shape), hn))
             wv = 0.1 * sp.quality / (sp.sigma_n * sp.sigma_n + 0.01)
             wv = jnp.where(use & jnp.isfinite(wv), wv, 0.0).astype(jnp.float64)
             # J_pos = 0 (cpp:179-182): VNC only informs the rotation block
@@ -251,8 +253,8 @@ def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
         _, idx = jax.lax.top_k(-d2, NMATCH)
         A = map_pts[idx]                       # (N, 5, 3)
         ones = -jnp.ones((NMATCH,), f32)
-        AtA = jnp.einsum("nki,nkj->nij", A, A)
-        Atb = jnp.einsum("nki,k->ni", A, ones)
+        AtA = jnp.sum(A[..., :, :, None] * A[..., :, None, :], axis=-3)
+        Atb = jnp.sum(A * ones[:, None], axis=-2)
         direct = jnp.linalg.solve(
             AtA + 1e-6 * jnp.eye(3, dtype=f32), Atb[..., None])[..., 0]
         fit_ok = jnp.all(
@@ -276,7 +278,7 @@ def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
         R32, p32 = x_c.R.astype(f32), x_c.p.astype(f32)
         wld = pts_body @ R32.T + p32
         pd2 = jnp.sum(normal * wld, axis=-1) + dconst
-        jac_rot = jnp.einsum("nij,jk,nk->ni", phat, R32.T, normal)
+        jac_rot = bmv(phat, normal @ R32)
         jac = jnp.concatenate([jac_rot, normal], axis=-1).astype(jnp.float64)
         w = ok.astype(jnp.float64)
         HTH = jnp.einsum("n,ni,nj->ij", w, jac, jac)

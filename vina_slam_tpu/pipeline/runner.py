@@ -55,9 +55,10 @@ def pad_points(pts, rel=None, bucket=None):
 @jax.jit
 def _win_world(win_pts, win_valid, Rs, ps):
     """Window body points -> world under the current window poses."""
+    from vina_slam_tpu.core.mat3 import bmv
     R32 = Rs.astype(jnp.float32)
     p32 = ps.astype(jnp.float32)
-    w = jnp.einsum("wij,wnj->wni", R32, win_pts) + p32[:, None, :]
+    w = bmv(R32[:, None], win_pts) + p32[:, None, :]
     return jnp.where(win_valid[..., None], w, 1e7)  # park invalid far away
 
 
@@ -115,7 +116,9 @@ class SlamRunner:
         self.ms = vm.MapStatic(
             capacity=tp.map_capacity, levels=lb.max_layer + 1,
             probe=tp.probe_len, max_new=tp.max_new_voxels,
-            pool_capacity=tp.fix_pool_capacity)
+            pool_capacity=tp.fix_pool_capacity,
+            active_cap=tp.active_cap, refind_cap=tp.refind_cap,
+            pool_move_cap=tp.pool_move_cap)
         self.params = vm.MapParams(
             voxel_size=jnp.asarray(o.voxel_size, jnp.float32),
             min_eigen_value=jnp.asarray(o.min_eigen_value, jnp.float32),
@@ -230,11 +233,12 @@ class SlamRunner:
                       float(o.min_eigen_value),
                       3 if use_normal else 10, use_normal)
 
-    def fused_args(self, frame: Frame):
+    def fused_args(self, frame: Frame, imu_bucket: int | None = None):
         """Host-side packaging of one frame into steady_step's positional
         args (after the state). Returns None when the frame spans no IMU
         interval. Shared by the single-sequence driver and the batched
-        multi-sequence driver (parallel/multiseq.py)."""
+        multi-sequence driver (parallel/multiseq.py — which forces a fixed
+        imu_bucket so per-sequence args stack)."""
         from vina_slam_tpu.estimation.ekf import build_intervals, midpoint_arrays
 
         ekf = self.ekf
@@ -244,13 +248,13 @@ class SlamRunner:
                 f"beg={frame.beg_time} last_end={ekf.last_pcl_end_time}")
         arrays, cond, n = build_intervals(
             ekf.last_imu, ekf.last_pcl_end_time, frame.beg_time,
-            frame.end_time, frame.imu)
+            frame.end_time, frame.imu, bucket=imu_bucket)
         ekf.last_imu = (frame.end_time, frame.imu.gyr[-1].copy(),
                         frame.imu.acc[-1].copy())
         ekf.last_pcl_end_time = frame.end_time
         if n == 0:
             return None
-        gm, am, dtm, vm_ = midpoint_arrays(cond)
+        gm, am, dtm, vm_ = midpoint_arrays(cond, bucket=imu_bucket)
         full_pts, full_rel, full_valid = pad_points(frame.scan.pts,
                                                     frame.scan.rel_time)
         return (
