@@ -103,14 +103,16 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
         jnp.arange(W)[:, None], slots.shape).reshape(-1)
     pos = inv[jnp.where(flat_valid, flat_slots, C)]
     seg = jnp.where(flat_valid & (pos >= 0), pos * W + frame_id, V * W)
+    from vina_slam_tpu.mapping.voxel_map import _outer9
     _, centers_pt, _ = slot_meta(m, flat_slots, params)
     rel = (win_pts_w.reshape(-1, 3) - centers_pt).astype(jnp.float32)
     w = (seg < V * W).astype(jnp.float32)
     p = rel * w[:, None]
-    Pr = jax.ops.segment_sum((p[:, :, None] * p[:, None, :]).reshape(-1, 9), seg,
-                             num_segments=V * W + 1)[: V * W].reshape(V, W, 3, 3)
-    vr = jax.ops.segment_sum(p, seg, num_segments=V * W + 1)[: V * W].reshape(V, W, 3)
-    Nb = jax.ops.segment_sum(w, seg, num_segments=V * W + 1)[: V * W].reshape(V, W)
+    flat = jnp.concatenate([_outer9(p), p, w[:, None]], axis=-1)
+    acc = jax.ops.segment_sum(flat, seg, num_segments=V * W + 1)[: V * W]
+    Pr = acc[:, 0:9].reshape(V, W, 3, 3)
+    vr = acc[:, 9:12].reshape(V, W, 3)
+    Nb = acc[:, 12].reshape(V, W)
 
     _, centers, _ = slot_meta(m, safe, params)
     nrm = m.plane_normal[safe].astype(jnp.float32)

@@ -273,17 +273,27 @@ def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
 
 # ------------------------------------------------------- cluster recompute
 
+def _outer9(p):
+    """(..., 3) -> (..., 9) row-major outer product built column-wise: a
+    reshape of the (N, 3, 3) outer forces a physical relayout copy on TPU
+    (~3 ms at 40k points); stacking 9 (N,) columns does not."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    return jnp.stack([x * x, x * y, x * z,
+                      y * x, y * y, y * z,
+                      z * x, z * y, z * z], axis=-1)
+
+
 def _seg_cluster(slots, rel_pts, valid, C) -> cl.Cluster:
     """Masked segment-sum of voxel-center-relative points into per-slot
     clusters (the SlideWindow recompute)."""
     sid = jnp.where(valid & (slots >= 0), slots, C)
     w = (valid & (slots >= 0)).astype(rel_pts.dtype)
     p = rel_pts * w[..., None]
-    P = jax.ops.segment_sum((p[..., :, None] * p[..., None, :]).reshape(-1, 9),
-                            sid.reshape(-1), num_segments=C + 1)[:C].reshape(C, 3, 3)
-    v = jax.ops.segment_sum(p.reshape(-1, 3), sid.reshape(-1), num_segments=C + 1)[:C]
-    N = jax.ops.segment_sum(w.reshape(-1), sid.reshape(-1), num_segments=C + 1)[:C]
-    return cl.Cluster(P=P, v=v, N=N)
+    flat = jnp.concatenate(
+        [_outer9(p), p, w[..., None]], axis=-1).reshape(-1, 13)
+    acc = jax.ops.segment_sum(flat, sid.reshape(-1), num_segments=C + 1)[:C]
+    return cl.Cluster(P=acc[:, 0:9].reshape(C, 3, 3), v=acc[:, 9:12],
+                      N=acc[:, 12])
 
 
 def _bf_var(var, rel):
@@ -338,10 +348,11 @@ def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, jour):
     sid = jnp.where(okm, new_slots, C)
     w = okm.astype(jnp.float32)
     p = rel.astype(jnp.float32) * w[:, None]
-    dP = jax.ops.segment_sum((p[:, :, None] * p[:, None, :]).reshape(-1, 9),
-                             sid, num_segments=C + 1)[:C].reshape(C, 3, 3)
-    dv = jax.ops.segment_sum(p, sid, num_segments=C + 1)[:C]
-    dN = jax.ops.segment_sum(w, sid, num_segments=C + 1)[:C]
+    flat = jnp.concatenate([_outer9(p), p, w[:, None]], axis=-1)
+    acc = jax.ops.segment_sum(flat, sid, num_segments=C + 1)[:C]
+    dP = acc[:, 0:9].reshape(C, 3, 3)
+    dv = acc[:, 9:12]
+    dN = acc[:, 12]
     grow = (~m.sealed).astype(jnp.float32)
     B = _bf_var(pool.var[rr], rel.astype(jnp.float32)) * w[:, None, None]
     dB = jax.ops.segment_sum(B.reshape(-1, 81), sid,

@@ -52,37 +52,44 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
     f32 = pts.dtype
     outs = []
     parent_split = jnp.ones(N, bool)  # level-0: all points participate
-    SENT = jnp.int64(0x7FFFFFFFFFFFFFFF)
 
     for l in range(levels):
         cap = caps[min(l, len(caps) - 1)]
         edge = voxel_size / (2.0 ** l)
         coords = vh.coords_of(pts, edge)
-        code = jnp.where(valid & parent_split, vh.encode(l, coords), SENT)
-        uniq = jnp.unique(code, size=cap, fill_value=SENT)
-        seg = jnp.searchsorted(uniq, code)
-        seg = jnp.where((code != SENT) & (seg < cap), seg, cap)
+        code = vh.encode(l, coords)
+        vmask = valid & parent_split
+        # per-scan voxelization via a throwaway open-addressing table
+        # (claim-and-verify insert): segment ids are hash slots. Replaces
+        # jnp.unique + searchsorted — int64 sorts are emulated 64-bit
+        # bitonic sorts on TPU and dominated this stage (~3 ms/level).
+        tbl, slots, placed = vh.insert_keys(
+            jnp.full((cap,), vh.EMPTY_KEY, jnp.int64), code, vmask,
+            probe=8, rounds=8)
+        seg = jnp.where(vmask & (slots >= 0), slots, cap)
         inb = seg < cap
+        from vina_slam_tpu.mapping.voxel_map import _outer9
         w = inb.astype(f32)
         centers_vox = (coords.astype(f32) + 0.5) * edge
         rel = (pts - centers_vox) * w[:, None]
-        P = jax.ops.segment_sum((rel[:, :, None] * rel[:, None, :]).reshape(-1, 9),
-                                seg, num_segments=cap + 1)[:cap].reshape(cap, 3, 3)
-        v = jax.ops.segment_sum(rel, seg, num_segments=cap + 1)[:cap]
-        n = jax.ops.segment_sum(w, seg, num_segments=cap + 1)[:cap]
+        flat = jnp.concatenate([_outer9(rel), rel, w[:, None]], axis=-1)
+        acc = jax.ops.segment_sum(flat, seg, num_segments=cap + 1)[:cap]
+        P = acc[:, 0:9].reshape(cap, 3, 3)
+        v = acc[:, 9:12]
+        n = acc[:, 12]
 
         nn = jnp.maximum(n, 1.0)
         mean_rel = v / nn[:, None]
         Cov = P / nn[:, None, None] - mean_rel[:, None, :] * mean_rel[:, :, None]
         lmbd, U = eigh3(Cov)
 
-        occupied = uniq != SENT
+        occupied = tbl != vh.EMPTY_KEY
         ratio2 = lmbd[:, 0] / jnp.maximum(lmbd[:, 2], 1e-20)
         is_pl = occupied & (n >= 3) & (lmbd[:, 0] < min_eigen_value) & (
             ratio2 < plane_thre[min(l, 3)])
 
-        # voxel centers back to absolute: reconstruct from the unique code
-        _, ucoords = vh.decode(jnp.where(occupied, uniq, 0))
+        # voxel centers back to absolute: reconstruct from the stored key
+        _, ucoords = vh.decode(jnp.where(occupied, tbl, 0))
         ucenter = (ucoords.astype(f32) + 0.5) * edge
         center_abs = ucenter + mean_rel
 
