@@ -156,17 +156,15 @@ def _deskew(pts, rel_time, valid_pts, pose_table, offt, n_valid, R_end, p_end, e
 
 
 def pick_imu_bucket(n: int, bucket: int | None = None) -> int:
-    """Smallest IMU pad bucket covering n samples (fused-path shapes
-    compile once per bucket; the associative scans cost ~linearly in
-    bucket width, so a 200 Hz IMU should ride the 32 bucket)."""
-    if bucket is not None:
-        if n > bucket:
-            raise RuntimeError(f"IMU bucket overflow: {n} > {bucket}")
-        return bucket
+    """Smallest IMU pad bucket covering max(n, bucket). `bucket` acts as a
+    floor so callers can pin a sticky minimum — every distinct bucket is a
+    separate compile of the fused step, and a mid-run bucket flip lands a
+    multi-minute compile inside the steady loop."""
+    need = max(n, bucket or 0)
     for b in IMU_BUCKETS:
-        if n <= b:
+        if need <= b:
             return b
-    raise RuntimeError(f"IMU bucket overflow: {n} > {IMU_BUCKETS[-1]}")
+    raise RuntimeError(f"IMU bucket overflow: {need} > {IMU_BUCKETS[-1]}")
 
 
 def build_intervals(last_imu, last_pcl_end_time, beg_time, end_time,

@@ -583,6 +583,37 @@ def match_points(m: VoxelMap, wld, var_w, params: MapParams, ms: MapStatic):
     Returns (valid, normal, center, sigma_d): the 3-sigma Mahalanobis-gated
     plane for each query, using plane_var + the point's world covariance."""
     slot, level, _ = descend(m, wld, params, ms)
+    return match_with_slots(m, wld, var_w, slot, params)
+
+
+@partial(jax.jit, static_argnames=("ms", "refind_cap"))
+def refresh_slots(m: VoxelMap, wld, slot, level, coords, params: MapParams,
+                  ms: MapStatic, refind_cap: int):
+    """Update a cached descent result for moved query points (the octree
+    fast path octos[i]->inside(), odometry.cpp:124-132, generalized to the
+    flat table): a walk's outcome — hit OR miss — is fully determined by the
+    query's cell at the level where the walk ended, so queries still inside
+    that cell reuse (slot, level, coords) verbatim; only movers re-walk,
+    compacted to refind_cap (overflowers keep the stale result one round;
+    the Mahalanobis gate absorbs the rare misassociation).
+
+    Returns updated (slot, level, coords)."""
+    edge = params.voxel_size / (2.0 ** jnp.maximum(level, 0).astype(jnp.float32))
+    same = jnp.all(vh.coords_of(wld, edge[:, None]) == coords, axis=-1)
+    rows = vh.compact_indices(~same, refind_cap, -1)
+    rv = rows >= 0
+    rr = jnp.maximum(rows, 0)
+    s2, l2, c2 = descend(m, wld[rr], params, ms)
+    tgt = jnp.where(rv, rr, slot.shape[0])
+    slot = slot.at[tgt].set(s2, mode="drop")
+    level = level.at[tgt].set(l2, mode="drop")
+    coords = coords.at[tgt].set(c2, mode="drop")
+    return slot, level, coords
+
+
+@jax.jit
+def match_with_slots(m: VoxelMap, wld, var_w, slot, params: MapParams):
+    """The gate half of match_points for precomputed leaf slots."""
     s = jnp.maximum(slot, 0)
     found = (slot >= 0) & m.is_plane[s]
     n = m.plane_normal[s]

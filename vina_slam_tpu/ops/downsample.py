@@ -2,10 +2,12 @@
 
 Reference: down_sampling_voxel / down_sampling_close
 (include/vina_slam/core/point_utils.hpp:7-113) and down_sampling_pvec
-(src/mapping/voxel_map.cpp:315-360). Hash-map-per-scan becomes
-jnp.unique(size=K) + segment means; the "closest real point" variant packs
-(f32 distance bits | index) into one int64 segment-min — exact and
-branch-free.
+(src/mapping/voxel_map.cpp:315-360). Hash-map-per-scan becomes a throwaway
+open-addressing table (early-exit claim-and-verify insert; int64 sorts via
+jnp.unique are emulated bitonic sorts on TPU) + segment means; the
+"closest real point" variant packs (f32 distance bits | index) into one
+int64 segment-min — exact and branch-free. out_size must be a power of
+two (hash mask).
 """
 
 from __future__ import annotations
@@ -20,23 +22,30 @@ from vina_slam_tpu.mapping import voxel_hash as vh
 _SENTINEL = jnp.int64(0x7FFFFFFFFFFFFFFF)
 
 
-def _codes(pts, valid, voxel):
+def _seg_hash(pts, valid, voxel, out_size: int):
+    """Voxelize via a fresh hash table: (occupied (K,), seg (N,) in [0,K])."""
+    assert out_size & (out_size - 1) == 0, "out_size must be a power of two"
     coords = vh.coords_of(pts, voxel)
-    return jnp.where(valid, vh.encode(0, coords), _SENTINEL)
+    code = vh.encode(0, coords)
+    tbl, slots, _ = vh.insert_keys(
+        jnp.full((out_size,), vh.EMPTY_KEY, jnp.int64), code, valid,
+        probe=32, rounds=32)  # deep probe: drops lose real points; the
+                              # early-exit round loop makes unused depth free
+    seg = jnp.where(valid & (slots >= 0), slots, out_size)
+    return tbl != vh.EMPTY_KEY, seg
 
 
 @partial(jax.jit, static_argnames=("out_size",))
 def downsample_mean(pts, valid, voxel, out_size: int):
     """down_sampling_voxel: one mean point per voxel.
     Returns (pts_out (out_size, 3), valid_out, n_voxels)."""
-    code = _codes(pts, valid, voxel)
-    uniq = jnp.unique(code, size=out_size, fill_value=_SENTINEL)
-    seg = jnp.searchsorted(uniq, code)
-    seg = jnp.where(valid & (seg < out_size), seg, out_size)
+    occupied, seg = _seg_hash(pts, valid, voxel, out_size)
     w = (seg < out_size).astype(pts.dtype)
-    s = jax.ops.segment_sum(pts * w[:, None], seg, num_segments=out_size + 1)[:out_size]
-    n = jax.ops.segment_sum(w, seg, num_segments=out_size + 1)[:out_size]
-    out_valid = (uniq != _SENTINEL) & (n > 0)
+    acc = jax.ops.segment_sum(
+        jnp.concatenate([pts * w[:, None], w[:, None]], axis=-1), seg,
+        num_segments=out_size + 1)[:out_size]
+    s, n = acc[:, 0:3], acc[:, 3]
+    out_valid = occupied & (n > 0)
     out = s / jnp.maximum(n, 1.0)[:, None]
     return out, out_valid, jnp.sum(out_valid.astype(jnp.int32))
 
@@ -46,14 +55,13 @@ def downsample_close(pts, rel_time, valid, voxel, out_size: int):
     """down_sampling_close: keep the REAL point nearest its voxel mean
     (preserves per-point timestamps for the init re-deskew path,
     node.cpp:334-341). Returns (pts_out, rel_time_out, valid_out, n)."""
-    code = _codes(pts, valid, voxel)
-    uniq = jnp.unique(code, size=out_size, fill_value=_SENTINEL)
-    seg = jnp.searchsorted(uniq, code)
-    seg = jnp.where(valid & (seg < out_size), seg, out_size)
+    occupied, seg = _seg_hash(pts, valid, voxel, out_size)
     inb = seg < out_size
     w = inb.astype(pts.dtype)
-    s = jax.ops.segment_sum(pts * w[:, None], seg, num_segments=out_size + 1)[:out_size]
-    n = jax.ops.segment_sum(w, seg, num_segments=out_size + 1)[:out_size]
+    acc = jax.ops.segment_sum(
+        jnp.concatenate([pts * w[:, None], w[:, None]], axis=-1), seg,
+        num_segments=out_size + 1)[:out_size]
+    s, n = acc[:, 0:3], acc[:, 3]
     mean = s / jnp.maximum(n, 1.0)[:, None]
     d = pts - mean[jnp.minimum(seg, out_size - 1)]
     dist = jnp.sum(d * d, axis=-1).astype(jnp.float32)
@@ -64,7 +72,7 @@ def downsample_close(pts, rel_time, valid, voxel, out_size: int):
     packed = jnp.where(inb, packed, _SENTINEL)
     best = jax.ops.segment_min(packed, seg, num_segments=out_size + 1)[:out_size]
     idx = (best & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
-    out_valid = (uniq != _SENTINEL) & (best != _SENTINEL)
+    out_valid = occupied & (best != _SENTINEL)
     safe = jnp.clip(idx, 0, pts.shape[0] - 1)
     return pts[safe], rel_time[safe], out_valid, jnp.sum(out_valid.astype(jnp.int32))
 
@@ -73,14 +81,11 @@ def downsample_close(pts, rel_time, valid, voxel, out_size: int):
 def downsample_pvec(pts, var, valid, voxel, out_size: int):
     """down_sampling_pvec (voxel_map.cpp:315-360): mean of points AND of
     their covariances per voxel."""
-    code = _codes(pts, valid, voxel)
-    uniq = jnp.unique(code, size=out_size, fill_value=_SENTINEL)
-    seg = jnp.searchsorted(uniq, code)
-    seg = jnp.where(valid & (seg < out_size), seg, out_size)
+    occupied, seg = _seg_hash(pts, valid, voxel, out_size)
     w = (seg < out_size).astype(pts.dtype)
     s = jax.ops.segment_sum(pts * w[:, None], seg, num_segments=out_size + 1)[:out_size]
     sv = jax.ops.segment_sum(var * w[:, None, None], seg, num_segments=out_size + 1)[:out_size]
     n = jax.ops.segment_sum(w, seg, num_segments=out_size + 1)[:out_size]
     nn = jnp.maximum(n, 1.0)
-    out_valid = (uniq != _SENTINEL) & (n > 0)
+    out_valid = occupied & (n > 0)
     return s / nn[:, None], sv / nn[:, None, None], out_valid, jnp.sum(out_valid.astype(jnp.int32))

@@ -150,9 +150,30 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
     cov_inv = inv_psd(x.cov)
     f32 = pts_body.dtype
     phat = so3.hat(pts_body)
+    refind_cap = max(512, pts_body.shape[0] // 4)
+
+    # descend once at the prior pose; iterations verify + re-walk movers
+    # only (the reference's cached-octree fast path, odometry.cpp:124-132)
+    R0 = x.R.astype(f32)
+    p0 = x.p.astype(f32)
+    wld0 = pts_body @ R0.T + p0
+    slot0, lv0, crd0 = vm.descend(m, wld0, params, ms)
+
+    if use_vnc:
+        # 27-neighbor map-plane match for the scan planes ONCE per update:
+        # plane centers move sub-mm between IEKF iterations, so the
+        # best-neighbor selection is stable; the residual/Jacobian still
+        # re-evaluate with the current rotation every iteration. (The
+        # reference re-runs matchVoxelMap per iteration; its match output
+        # is equally stable — documented deviation, PARITY.md.)
+        sp = scan_planes
+        c_w0 = sp.center @ R0.T + p0
+        vnc_found, vnc_n_map, _, _ = vm.match_neighbors(m, c_w0, params, ms)
+        vnc_n_map = vnc_n_map / jnp.maximum(
+            jnp.linalg.norm(vnc_n_map, axis=-1, keepdims=True), 1e-12)
 
     def one_iter(carry):
-        it, rematch, stop, x_c, nnt_last, match_last = carry
+        it, rematch, stop, x_c, nnt_last, match_last, slot, lv, crd = carry
         R32 = x_c.R.astype(f32)
         p32 = x_c.p.astype(f32)
         rot_var = x_c.cov[0:3, 0:3].astype(f32)
@@ -164,7 +185,10 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
             + tsl_var
         )
         wld = pts_body @ R32.T + p32
-        ok, nrm, ctr, sigma_d = vm.match_points(m, wld, var_world, params, ms)
+        slot, lv, crd = vm.refresh_slots(m, wld, slot, lv, crd, params, ms,
+                                         refind_cap)
+        ok, nrm, ctr, sigma_d = vm.match_with_slots(m, wld, var_world, slot,
+                                                    params)
         ok = ok & valid
 
         w_r = jnp.where(ok, 1.0 / (0.0005 + sigma_d), 0.0)
@@ -180,11 +204,9 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
 
         if use_vnc:
             sp = scan_planes
-            c_w = sp.center @ R32.T + p32
             n_w = sp.normal @ R32.T
             n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
-            found, n_map, _, _ = vm.match_neighbors(m, c_w, params, ms)
-            n_map = n_map / jnp.maximum(jnp.linalg.norm(n_map, axis=-1, keepdims=True), 1e-12)
+            found, n_map = vnc_found, vnc_n_map
             dot = jnp.abs(jnp.sum(n_w * n_map, axis=-1))
             use = sp.valid & found & (dot >= 0.7)
             S = jnp.eye(3, dtype=f32) - n_map[:, :, None] * n_map[:, None, :]
@@ -217,15 +239,18 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
         G = jnp.zeros((DIM, DIM), jnp.float64).at[:, 0:6].set(G6)
         cov_post = (jnp.eye(DIM, dtype=jnp.float64) - G) @ x_c.cov
         x_n = x_n._replace(cov=jnp.where(stop_n, cov_post, x_c.cov))
-        return (it + 1, rematch_n, stop_n, x_n, nnt, match_num)
+        return (it + 1, rematch_n, stop_n, x_n, nnt, match_num, slot, lv, crd)
 
     def cond(carry):
         it, rematch, stop, *_ = carry
         return (it < max_iter) & ~stop
 
-    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False), x,
-            jnp.zeros((3, 3), jnp.float64), jnp.asarray(0, jnp.int32))
-    it, rematch, stop, x_out, nnt, match_num = jax.lax.while_loop(cond, one_iter, init)
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), x,
+            jnp.zeros((3, 3), jnp.float64), jnp.asarray(0, jnp.int32),
+            slot0, lv0, crd0)
+    (it, rematch, stop, x_out, nnt, match_num, _, _, _) = jax.lax.while_loop(
+        cond, one_iter, init)
 
     evals, _ = eigh3(nnt)
     return IekfResult(x=x_out, ok=evals[0] >= 14.0, match_num=match_num,

@@ -98,6 +98,9 @@ class SlamRunner:
         self._fused = None
         self._pending_rows = 0
         self._traj_base = 0
+        # sticky IMU pad bucket: grows monotonically so the fused step
+        # compiles at most once more after warmup (see pick_imu_bucket)
+        self._imu_sticky = 0
         # the reference's auto-reset branch is compiled out (if (0),
         # local_mapping.cpp:474-487); keep it available behind a flag
         self.enable_degrade_reset = enable_degrade_reset
@@ -246,15 +249,25 @@ class SlamRunner:
             from vina_slam_tpu.estimation.ekf import LidarTimeRegression
             raise LidarTimeRegression(
                 f"beg={frame.beg_time} last_end={ekf.last_pcl_end_time}")
+        floor = imu_bucket if imu_bucket is not None else self._imu_sticky
+        prev_imu, prev_end = ekf.last_imu, ekf.last_pcl_end_time
         arrays, cond, n = build_intervals(
-            ekf.last_imu, ekf.last_pcl_end_time, frame.beg_time,
-            frame.end_time, frame.imu, bucket=imu_bucket)
+            prev_imu, prev_end, frame.beg_time,
+            frame.end_time, frame.imu, bucket=floor)
         ekf.last_imu = (frame.end_time, frame.imu.gyr[-1].copy(),
                         frame.imu.acc[-1].copy())
         ekf.last_pcl_end_time = frame.end_time
         if n == 0:
             return None
-        gm, am, dtm, vm_ = midpoint_arrays(cond, bucket=imu_bucket)
+        gm, am, dtm, vm_ = midpoint_arrays(cond, bucket=floor)
+        K = max(len(arrays["dt"]), len(gm))
+        if len(arrays["dt"]) != K:
+            arrays, _, _ = build_intervals(
+                prev_imu, prev_end, frame.beg_time, frame.end_time,
+                frame.imu, bucket=K)
+        if len(gm) != K:
+            gm, am, dtm, vm_ = midpoint_arrays(cond, bucket=K)
+        self._imu_sticky = max(self._imu_sticky, K)
         full_pts, full_rel, full_valid = pad_points(frame.scan.pts,
                                                     frame.scan.rel_time)
         return (
