@@ -134,6 +134,58 @@ def insert_keys(table_keys: jnp.ndarray, new_keys: jnp.ndarray, valid: jnp.ndarr
     return table_keys, slots, done
 
 
+EMPTY32 = jnp.int32(-1)
+
+
+def fingerprint32(key: jnp.ndarray) -> jnp.ndarray:
+    """int64 voxel key -> positive int32 fingerprint (never EMPTY32).
+
+    For THROWAWAY per-scan tables only (downsampling, scan-plane
+    voxelization): int64 table ops cost 2x on TPU (u32-pair emulation), and
+    a ~1e-3-per-scan fingerprint collision merely merges two voxels'
+    points for one scan. The persistent map table keeps exact int64 keys."""
+    h = _mix(key)
+    return ((h >> jnp.uint64(33)).astype(jnp.int32) + 1)  # in [1, 2^31]
+
+
+@partial(jax.jit, static_argnames=("probe", "rounds"))
+def insert_keys32(table_keys: jnp.ndarray, new_keys: jnp.ndarray,
+                  valid: jnp.ndarray, probe: int = 16, rounds: int = 16):
+    """insert_keys for int32 fingerprint tables (same early-exit
+    claim-and-verify; see insert_keys)."""
+    C = table_keys.shape[0]
+    cmask = jnp.int32(C - 1)
+    h = new_keys.astype(jnp.uint32)
+    h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+    h = (h ^ (h >> 16)) * jnp.uint32(0x45D9F3B)
+    h0 = ((h ^ (h >> 16)) & jnp.uint32(C - 1)).astype(jnp.int32)
+
+    def cond(carry):
+        keys, offset, done, slots, it, pending = carry
+        return pending & (it < rounds)
+
+    def body(carry):
+        keys, offset, done, slots, it, _ = carry
+        slot_try = (h0 + offset) & cmask
+        occ = keys[slot_try]
+        need = valid & ~done
+        can_claim = need & (occ == EMPTY32)
+        keys = keys.at[slot_try].set(
+            jnp.where(can_claim, new_keys, occ), mode="drop")
+        occ2 = keys[slot_try]
+        won = need & (occ2 == new_keys)
+        slots = jnp.where(won, slot_try, slots)
+        done = done | won
+        offset = jnp.where(done | ~valid, offset,
+                           jnp.minimum(offset + 1, probe - 1))
+        return (keys, offset, done, slots, it + 1, jnp.any(valid & ~done))
+
+    init = (table_keys, jnp.zeros_like(h0), jnp.zeros_like(valid),
+            jnp.full_like(h0, -1), jnp.asarray(0, jnp.int32), jnp.any(valid))
+    table_keys, _, done, slots, _, _ = jax.lax.while_loop(cond, body, init)
+    return table_keys, slots, done
+
+
 def compact_indices(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
     """Ascending indices of True entries, padded with `fill` to `size`
     (jnp.nonzero(mask, size, fill)[0] equivalent). Lowered as two

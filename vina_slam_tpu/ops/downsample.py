@@ -23,16 +23,26 @@ _SENTINEL = jnp.int64(0x7FFFFFFFFFFFFFFF)
 
 
 def _seg_hash(pts, valid, voxel, out_size: int):
-    """Voxelize via a fresh hash table: (occupied (K,), seg (N,) in [0,K])."""
+    """Voxelize via a fresh int32-fingerprint table (see
+    vh.fingerprint32 for the collision tradeoff): returns
+    (occupied (K,), seg (N,) in [0,K]). The table is 2x out_size to keep
+    the load factor low (hash clustering at load ~0.5 cost ~10 insert
+    rounds); occupied slots are then compacted into out_size rows."""
     assert out_size & (out_size - 1) == 0, "out_size must be a power of two"
+    T = 2 * out_size
     coords = vh.coords_of(pts, voxel)
-    code = vh.encode(0, coords)
-    tbl, slots, _ = vh.insert_keys(
-        jnp.full((out_size,), vh.EMPTY_KEY, jnp.int64), code, valid,
+    fp = vh.fingerprint32(vh.encode(0, coords))
+    tbl, slots, _ = vh.insert_keys32(
+        jnp.full((T,), vh.EMPTY32, jnp.int32), fp, valid,
         probe=32, rounds=32)  # deep probe: drops lose real points; the
                               # early-exit round loop makes unused depth free
-    seg = jnp.where(valid & (slots >= 0), slots, out_size)
-    return tbl != vh.EMPTY_KEY, seg
+    occ = tbl != vh.EMPTY32
+    rows = vh.compact_indices(occ, out_size, T)
+    inv = jnp.full(T + 1, out_size, jnp.int32).at[
+        jnp.where(rows >= 0, rows, T)].set(
+        jnp.arange(out_size, dtype=jnp.int32), mode="drop")
+    seg = inv[jnp.where(valid & (slots >= 0), slots, T)]
+    return rows >= 0, seg
 
 
 @partial(jax.jit, static_argnames=("out_size",))

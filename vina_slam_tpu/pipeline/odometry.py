@@ -57,17 +57,21 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
         cap = caps[min(l, len(caps) - 1)]
         edge = voxel_size / (2.0 ** l)
         coords = vh.coords_of(pts, edge)
-        code = vh.encode(l, coords)
         vmask = valid & parent_split
-        # per-scan voxelization via a throwaway open-addressing table
-        # (claim-and-verify insert): segment ids are hash slots. Replaces
-        # jnp.unique + searchsorted — int64 sorts are emulated 64-bit
-        # bitonic sorts on TPU and dominated this stage (~3 ms/level).
-        tbl, slots, placed = vh.insert_keys(
-            jnp.full((cap,), vh.EMPTY_KEY, jnp.int64), code, vmask,
+        # per-scan voxelization via a throwaway int32-fingerprint table
+        # (claim-and-verify insert; vh.fingerprint32 for the collision
+        # tradeoff): segment ids are hash slots. Replaces jnp.unique +
+        # searchsorted — int64 sorts are emulated bitonic sorts on TPU and
+        # dominated this stage (~3 ms/level). Voxel coords are recovered
+        # from a winner-scatter, not by decoding the key.
+        fp = vh.fingerprint32(vh.encode(l, coords))
+        tbl, slots, placed = vh.insert_keys32(
+            jnp.full((cap,), vh.EMPTY32, jnp.int32), fp, vmask,
             probe=8, rounds=8)
         seg = jnp.where(vmask & (slots >= 0), slots, cap)
         inb = seg < cap
+        ucoords = jnp.zeros((cap, 3), jnp.int32).at[
+            jnp.where(inb, seg, cap)].set(coords, mode="drop")
         from vina_slam_tpu.mapping.voxel_map import _outer9
         w = inb.astype(f32)
         centers_vox = (coords.astype(f32) + 0.5) * edge
@@ -83,13 +87,12 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
         Cov = P / nn[:, None, None] - mean_rel[:, None, :] * mean_rel[:, :, None]
         lmbd, U = eigh3(Cov)
 
-        occupied = tbl != vh.EMPTY_KEY
+        occupied = tbl != vh.EMPTY32
         ratio2 = lmbd[:, 0] / jnp.maximum(lmbd[:, 2], 1e-20)
         is_pl = occupied & (n >= 3) & (lmbd[:, 0] < min_eigen_value) & (
             ratio2 < plane_thre[min(l, 3)])
 
-        # voxel centers back to absolute: reconstruct from the stored key
-        _, ucoords = vh.decode(jnp.where(occupied, tbl, 0))
+        # voxel centers back to absolute (ucoords from the winner-scatter)
         ucenter = (ucoords.astype(f32) + 0.5) * edge
         center_abs = ucenter + mean_rel
 
