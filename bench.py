@@ -51,8 +51,10 @@ def main():
     cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
     cfg.local_ba.imu_coef = 2e-4
     cfg.general.if_BA = 1
-    cfg.tpu.map_capacity = 1 << 16
-    cfg.tpu.fix_pool_capacity = 1 << 16
+    # size the table to the synthetic world (~10k voxels) like the
+    # reference sizes its hash map; map-wide ops cost per CAPACITY row
+    cfg.tpu.map_capacity = 1 << 15
+    cfg.tpu.fix_pool_capacity = 1 << 15
     cfg.tpu.max_voxels_ba = 2048
 
     from vina_slam_tpu.platform.metrics import associate

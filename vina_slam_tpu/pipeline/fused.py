@@ -305,3 +305,15 @@ def steady_step(
         traj=traj, traj_head=traj_head,
     )
     return st2
+
+
+# Donating variant for the production driver: the previous SteadyState is
+# dead after the call, so donating it lets XLA alias every .at[].set on the
+# big map columns in place instead of copying them (the undonated step
+# showed per-column copy ops throughout the profile). Do NOT use from
+# profiling/bisect scripts that re-call with the same state — donated
+# buffers cannot be reused.
+steady_step_donated = partial(
+    jax.jit, static_argnames=("ms", "W", "Vmax", "cfgs", "stop_after"),
+    donate_argnums=(0,),
+)(steady_step.__wrapped__)

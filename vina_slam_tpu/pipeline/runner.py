@@ -293,7 +293,7 @@ class SlamRunner:
         args = self.fused_args(frame)
         if args is None:
             return None
-        self._fused = fused.steady_step(
+        self._fused = fused.steady_step_donated(
             self._fused, *args,
             ms=self.ms, W=self.W, Vmax=self.cfg.tpu.max_voxels_ba,
             cfgs=self._cfgs,
