@@ -157,6 +157,9 @@ def main():
                     f"| {r['scans_per_sec']} | {r['decoder']} |\n".replace(
                         "| | ", "| "))
         f.write(
+            "\nThe scans/s column is the cold replay rate (each profile "
+            "compiles its own program shapes on first use); steady-state "
+            "throughput is bench.py's number.\n"
             "\nDecoder column: native C++ fast path (csrc/decode.cpp) vs "
             "Python fallback on this profile's message layout — `exact` "
             "means identical point sets and timestamps. Livox/TartanAir "

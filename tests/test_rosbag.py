@@ -129,3 +129,66 @@ class TestReplay:
         assert f.scan.pts.shape[0] > 150
         assert f.imu.t.size > 4
         assert (np.diff(f.scan.rel_time) >= 0).all()
+
+
+class TestBagWriterRoundtrip:
+    """platform/rosbag_write (an independent CDR writer implementation) must
+    interoperate with platform/rosbag's reader — cross-validation beyond the
+    self-built blobs above (PARITY_RUNS protocol path)."""
+
+    def test_velodyne_bag_roundtrip(self, tmp_path):
+        from vina_slam_tpu.platform import rosbag_write as rw
+
+        cfg = SlamConfig()
+        cfg.general.lidar_type = 1  # velodyne
+        cfg.general.lid_topic = "/velodyne_points"
+        cfg.general.imu_topic = "/imu/data"
+        cfg.general.point_filter_num = 1
+        cfg.general.blind = 0.0
+
+        n = 300
+        t0 = 100.0
+        pts = rng.uniform(1.0, 5.0, (n, 3)).astype(np.float32)
+        rel = np.sort(rng.uniform(0.0, 0.09, n)).astype(np.float32)
+        scans = [(t0 + 0.1 * k, pts, rel) for k in range(3)]
+        imu_t = np.arange(t0 - 0.5, t0 + 0.5, 0.005)
+        gyr = [np.array([0.0, 0.0, 0.1])] * len(imu_t)
+        acc = [np.array([0.0, 0.0, 1.0])] * len(imu_t)
+        path = str(tmp_path / "wr.db3")
+        rw.write_sequence_bag(path, cfg, scans, imu_t, gyr, acc)
+
+        frames = list(rosbag.replay_rosbag(path, cfg))
+        assert len(frames) >= 2
+        f0 = frames[0]
+        # decoded scan points survive the CDR roundtrip bit-exactly
+        # (postprocess sorts by rel time; ours is presorted)
+        np.testing.assert_array_equal(f0.scan.pts, pts)
+        np.testing.assert_allclose(f0.scan.rel_time, rel, atol=1e-7)
+        assert f0.imu.t.shape[0] >= 5
+
+    def test_livox_custommsg_roundtrip(self, tmp_path):
+        from vina_slam_tpu.platform import rosbag_write as rw
+
+        cfg = SlamConfig()
+        cfg.general.lidar_type = 0  # livox
+        cfg.general.lid_topic = "/livox/lidar"
+        cfg.general.imu_topic = "/livox/imu"
+        cfg.general.point_filter_num = 1
+        cfg.general.blind = 0.0
+
+        n = 120
+        t0 = 50.0
+        pts = rng.uniform(1.0, 4.0, (n, 3)).astype(np.float32)
+        rel = np.sort(rng.uniform(0.0, 0.09, n)).astype(np.float32)
+        scans = [(t0 + 0.1 * k, pts, rel) for k in range(3)]
+        imu_t = np.arange(t0 - 0.5, t0 + 0.5, 0.005)
+        gyr = [np.zeros(3)] * len(imu_t)
+        acc = [np.array([0.0, 0.0, 1.0])] * len(imu_t)
+        path = str(tmp_path / "lv.db3")
+        rw.write_sequence_bag(path, cfg, scans, imu_t, gyr, acc)
+
+        frames = list(rosbag.replay_rosbag(path, cfg))
+        assert len(frames) >= 2
+        np.testing.assert_array_equal(frames[0].scan.pts, pts)
+        # offset_time quantizes to whole ns
+        np.testing.assert_allclose(frames[0].scan.rel_time, rel, atol=1e-6)

@@ -96,3 +96,60 @@ def pc2_extract(data: bytes, n: int, point_step: int, offset: int, dtype: int):
     lib.vs_pc2_extract(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                        n, point_step, offset, dtype, _dp(out))
     return out
+
+
+def decode_stamped(x, y, z, inten, ts, mode, scale, base, blind_dims,
+                   filter_num, blind_sq):
+    lib = _load()
+    n = len(x)
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    z = np.ascontiguousarray(z, np.float32)
+    inten = np.ascontiguousarray(inten, np.float32)
+    ts = np.ascontiguousarray(ts, np.float64)
+    oxyz = np.empty((n, 3), np.float32)
+    oi = np.empty(n, np.float32)
+    ot = np.empty(n, np.float32)
+    m = lib.vs_decode_stamped(n, _fp(x), _fp(y), _fp(z), _fp(inten), _dp(ts),
+                              int(mode), float(scale), float(base),
+                              int(blind_dims), int(filter_num),
+                              float(blind_sq), _fp(oxyz), _fp(oi), _fp(ot))
+    return oxyz[:m], oi[:m], ot[:m]
+
+
+def decode(lidar_type: int, fields: dict, stamp: float, filter_num: int,
+           blind: float):
+    """Vendor dispatcher mirroring decoders.decode on the native fast path.
+    Returns a DecodedScan, or None when this type has no native path (or
+    the library is not built)."""
+    from vina_slam_tpu.core.config import (HESAI, OUSTER, ROBOSENSE,
+                                           VELODYNE)
+    from vina_slam_tpu.sensor.decoders import DecodedScan
+
+    if not available():
+        return None
+    blind_sq = blind * blind
+    x = np.asarray(fields["x"], np.float32)
+    y = np.asarray(fields["y"], np.float32)
+    z = np.asarray(fields["z"], np.float32)
+    inten = np.asarray(fields.get("intensity", np.zeros_like(x)), np.float32)
+    if lidar_type == VELODYNE:
+        t = np.asarray(fields.get("time", np.zeros_like(x)), np.float32)
+        pts, oi, ot = decode_velodyne(x, y, z, inten, t, filter_num, blind_sq)
+        return DecodedScan(pts, oi, ot, stamp)
+    if lidar_type == OUSTER:
+        ts = np.asarray(fields["t"], np.float64)
+        pts, oi, ot = decode_stamped(x, y, z, inten, ts, 0, 1e-9, 0.0, 3,
+                                     filter_num, blind_sq)
+        return DecodedScan(pts, oi, ot, stamp)
+    if lidar_type == HESAI:
+        ts = np.asarray(fields["timestamp"], np.float64)
+        pts, oi, ot = decode_stamped(x, y, z, inten, ts, 1, 1.0, 0.0, 3,
+                                     filter_num, blind_sq)
+        return DecodedScan(pts, oi, ot, stamp)
+    if lidar_type == ROBOSENSE:
+        ts = np.asarray(fields["timestamp"], np.float64)
+        pts, oi, ot = decode_stamped(x, y, z, inten, ts, 2, 1.0, stamp, 2,
+                                     filter_num, blind_sq)
+        return DecodedScan(pts, oi, ot, stamp)
+    return None
