@@ -35,12 +35,11 @@ def main():
     duration = float(os.environ.get("BENCH_DURATION", "12.0"))
     n_az = int(os.environ.get("BENCH_NAZ", "360"))
     n_el = int(os.environ.get("BENCH_NEL", "16"))
-    # BENCH_SEQS > 1 drives N sequences through ONE vmapped fused step.
-    # On a single chip this does NOT pay: under vmap every lax.cond executes
-    # both branches, so the cond-skipped work (insert waves, evict, retry
-    # passes) runs for the whole batch every scan. Multi-sequence scaling is
-    # a multi-chip story (shard_map, one sequence per device, native conds —
-    # see parallel/multiseq.py); the default single-chip bench stays at 1.
+    # BENCH_SEQS > 1 drives N sequences through ONE batched fused step.
+    # With multiple devices, multiseq.make_sharded_step runs one sequence
+    # per device with native control flow (production form); on a single
+    # chip it falls back to the vmapped step, which does NOT pay (vmapped
+    # conds execute both branches). The default single-chip bench stays 1.
     n_seqs = int(os.environ.get("BENCH_SEQS", "1"))
 
     cfg = SlamConfig()
@@ -131,8 +130,15 @@ def main():
         gts_list = [p[3] for p in packs]
         r0 = runners[0]
         stacked = multiseq.stack_states([r._fused for r in runners])
-        step = multiseq.make_batched_step(
-            r0.ms, r0.W, cfg.tpu.max_voxels_ba, r0._cfgs)
+        if len(jax.devices()) >= n_seqs > 1:
+            from vina_slam_tpu.parallel import mesh as pmesh
+            msh = pmesh.make_mesh(n_seqs)
+            stacked = multiseq.shard_states(stacked, msh)
+            step = multiseq.make_sharded_step(
+                msh, r0.ms, r0.W, cfg.tpu.max_voxels_ba, r0._cfgs)
+        else:
+            step = multiseq.make_batched_step(
+                r0.ms, r0.W, cfg.tpu.max_voxels_ba, r0._cfgs)
 
         def batch_args(i):
             # force one bucket so per-sequence IMU arrays stack

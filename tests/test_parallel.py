@@ -162,3 +162,41 @@ def test_multiseq_lockstep_matches_individual(world, mesh):
                                    rtol=1e-6, atol=1e-8, err_msg=f"leaf {k} seq1")
     # the trajectory ring advanced exactly one row per sequence
     assert np.asarray(out.traj_head).tolist() == [1, 1]
+
+
+def test_multiseq_sharded_step_matches_individual(world, mesh):
+    """shard_map per-device fused step (native conds, one sequence per
+    device) must equal independently advanced fused steps."""
+    from vina_slam_tpu.pipeline import fused
+
+    ms, params, m, _ = world
+    W = 4
+    Vmax = 32
+    states, argss, outs = [], [], None
+    cfgs = None
+    for k in range(NDEV):
+        stk, argk, cfgs = ge.build_fused_fixture(m, ms, params, W=W,
+                                                 Vmax=Vmax, seed=1 + k)
+        states.append(stk)
+        argss.append(argk)
+
+    ref = [fused.steady_step(s, *a, ms=ms, W=W, Vmax=Vmax, cfgs=cfgs)
+           for s, a in zip(states, argss)]
+
+    stacked = multiseq.stack_states(states)
+    args = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *argss)
+    with mesh:
+        stacked = multiseq.shard_states(stacked, mesh)
+        args = multiseq.shard_states(args, mesh)
+        step = multiseq.make_sharded_step(mesh, ms, W, Vmax, cfgs)
+        out = step(stacked, args)
+        jax.block_until_ready(out.x.p)
+
+    for k in range(NDEV):
+        np.testing.assert_allclose(np.asarray(out.x.p[k]),
+                                   np.asarray(ref[k].x.p),
+                                   rtol=1e-6, atol=1e-8, err_msg=f"seq {k}")
+        np.testing.assert_allclose(np.asarray(out.jour[k]),
+                                   np.asarray(ref[k].jour),
+                                   rtol=1e-6, err_msg=f"seq {k}")
+    assert np.asarray(out.traj_head).tolist() == [1] * NDEV

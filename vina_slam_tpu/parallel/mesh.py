@@ -30,13 +30,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map as _shard_map  # jax >= 0.8 name
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_vma)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _sm
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=check_vma)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp",

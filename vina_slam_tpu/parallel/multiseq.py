@@ -37,9 +37,39 @@ def shard_states(stacked, mesh: Mesh):
 
 def make_batched_step(ms, W, Vmax, cfgs):
     """vmapped fused step over the sequence axis; jit once, shard with the
-    arrays' placement (XLA partitions the batch axis across devices)."""
+    arrays' placement (XLA partitions the batch axis across devices).
+
+    NB: under vmap every lax.cond runs both branches and every while_loop
+    runs until ALL batch members finish — fine for correctness tests, but
+    per-device throughput scaling should use make_sharded_step."""
 
     def one(st, args):
         return fused.steady_step(st, *args, ms=ms, W=W, Vmax=Vmax, cfgs=cfgs)
 
     return jax.jit(jax.vmap(one))
+
+
+def make_sharded_step(mesh: Mesh, ms, W, Vmax, cfgs):
+    """shard_map fused step: ONE sequence per mesh 'dp' device, each
+    advancing with NATIVE control flow (conds skip, whiles exit early per
+    device — none of vmap's both-branches serialization). This is the
+    production multi-sequence form (SURVEY.md sections 2.9/5.8): zero
+    cross-device traffic per scan, aggregate scans/s = per-chip rate x
+    devices.
+
+    Inputs/outputs carry a leading sequence axis of length mesh.size,
+    sharded over 'dp'; inside, each device sees its own unbatched
+    SteadyState and runs the exact single-sequence program."""
+    from vina_slam_tpu.parallel.mesh import shard_map
+
+    def local(st, args):
+        st1 = jax.tree_util.tree_map(lambda a: a[0], st)
+        args1 = jax.tree_util.tree_map(lambda a: a[0], args)
+        out = fused.steady_step(st1, *args1, ms=ms, W=W, Vmax=Vmax, cfgs=cfgs)
+        return jax.tree_util.tree_map(lambda a: a[None], out)
+
+    # check_vma off: the step is embarrassingly parallel (no collectives),
+    # and its internal while_loops seed carries from replicated constants
+    # (fresh hash tables), which the varying-axes checker rejects.
+    return jax.jit(shard_map(local, mesh, in_specs=(P("dp"), P("dp")),
+                             out_specs=P("dp"), check_vma=False))
