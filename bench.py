@@ -54,7 +54,8 @@ def main():
     # reference sizes its hash map; map-wide ops cost per CAPACITY row
     cfg.tpu.map_capacity = 1 << 15
     cfg.tpu.fix_pool_capacity = 1 << 15
-    cfg.tpu.max_voxels_ba = 2048
+    cfg.tpu.max_voxels_ba = 1024
+    cfg.tpu.max_new_voxels = 1024
 
     from vina_slam_tpu.platform.metrics import associate
 

@@ -32,7 +32,7 @@ def main():
     cfg.general.if_BA = 1
     cfg.tpu.map_capacity = 1 << 16
     cfg.tpu.fix_pool_capacity = 1 << 16
-    cfg.tpu.max_voxels_ba = 2048
+    cfg.tpu.max_voxels_ba = 1024
     runner = SlamRunner(cfg, npad_map=4096)
 
     warm = 0

@@ -153,7 +153,7 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
     cov_inv = inv_psd(x.cov)
     f32 = pts_body.dtype
     phat = so3.hat(pts_body)
-    refind_cap = max(512, pts_body.shape[0] // 4)
+    refind_cap = max(512, pts_body.shape[0] // 8)
 
     # descend once at the prior pose; iterations verify + re-walk movers
     # only (the reference's cached-octree fast path, odometry.cpp:124-132)
@@ -161,6 +161,19 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
     p0 = x.p.astype(f32)
     wld0 = pts_body @ R0.T + p0
     slot0, lv0, crd0 = vm.descend(m, wld0, params, ms)
+
+    # world-frame point covariance at the PRIOR pose, reused across
+    # iterations: it enters only the 3-sigma gate and the 1/(5e-4+sigma)
+    # weights, and rotating a covariance by the <0.01-degree per-iteration
+    # pose updates changes it at the 1e-4 relative level (the reference
+    # recomputes per iteration; documented deviation, PARITY.md)
+    rot_var0 = x.cov[0:3, 0:3].astype(f32)
+    tsl_var0 = x.cov[3:6, 3:6].astype(f32)
+    var_world0 = (
+        sandwich(jnp.broadcast_to(R0, var_body.shape), var_body)
+        + sandwich(phat, jnp.broadcast_to(rot_var0, var_body.shape))
+        + tsl_var0
+    )
 
     if use_vnc:
         # 27-neighbor map-plane match for the scan planes ONCE per update:
@@ -179,14 +192,7 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
         it, rematch, stop, x_c, nnt_last, match_last, slot, lv, crd = carry
         R32 = x_c.R.astype(f32)
         p32 = x_c.p.astype(f32)
-        rot_var = x_c.cov[0:3, 0:3].astype(f32)
-        tsl_var = x_c.cov[3:6, 3:6].astype(f32)
-
-        var_world = (
-            sandwich(jnp.broadcast_to(R32, var_body.shape), var_body)
-            + sandwich(phat, jnp.broadcast_to(rot_var, var_body.shape))
-            + tsl_var
-        )
+        var_world = var_world0
         wld = pts_body @ R32.T + p32
         slot, lv, crd = vm.refresh_slots(m, wld, slot, lv, crd, params, ms,
                                          refind_cap)
