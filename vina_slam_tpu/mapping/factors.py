@@ -82,8 +82,9 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
     flat_slots = slots.reshape(-1)
     flat_valid = (win_valid & (slots >= 0)).reshape(-1)
     sid = jnp.where(flat_valid, flat_slots, C)
+    # f32 accumulate: integer segment_sum takes a slow scatter path on TPU
     win_count = jax.ops.segment_sum(
-        flat_valid.astype(jnp.int32), sid, num_segments=C + 1)[:C]
+        flat_valid.astype(jnp.float32), sid, num_segments=C + 1)[:C]
 
     ratio = m.eig_val[:, 0] / jnp.maximum(m.eig_val[:, 1], 1e-20)
     cond = (

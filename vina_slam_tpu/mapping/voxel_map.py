@@ -99,6 +99,10 @@ class VoxelMap(NamedTuple):
     eig_vec: jnp.ndarray       # (C, 3, 3) f32
     last_num: jnp.ndarray      # (C,) f32
     jour: jnp.ndarray          # (C,) f32 journey stamp for eviction
+    vox_level: jnp.ndarray     # (C,) i32 decoded key level (-1 when free) —
+                               # int64 key decodes are u32-pair emulated and
+                               # cost ~4 ms per 40k-point gather+decode
+    vox_coords: jnp.ndarray    # (C, 3) i32 decoded key coords
     n_dropped: jnp.ndarray     # () i32 diagnostic: inserts dropped (table full)
 
 
@@ -135,6 +139,8 @@ def make_map(ms: MapStatic) -> VoxelMap:
         eig_vec=jnp.zeros((C, 3, 3), f32),
         last_num=jnp.zeros(C, f32),
         jour=jnp.zeros(C, f32),
+        vox_level=jnp.full(C, -1, jnp.int32),
+        vox_coords=jnp.zeros((C, 3), jnp.int32),
         n_dropped=jnp.zeros((), jnp.int32),
     )
 
@@ -154,10 +160,11 @@ def make_pool(ms: MapStatic) -> FixPool:
 # ---------------------------------------------------------------- geometry
 
 def slot_meta(m: VoxelMap, slots, params: MapParams):
-    """(level, voxel center, edge) of table slots; safe for slot==-1."""
+    """(level, voxel center, edge) of table slots; safe for slot==-1.
+    Reads the stored decoded (vox_level, vox_coords) — not the int64 key."""
     s = jnp.maximum(slots, 0)
-    lv, coords = vh.decode(m.keys[s])
-    lv = jnp.maximum(lv, 0)  # EMPTY_KEY decodes weird; callers mask anyway
+    lv = jnp.maximum(m.vox_level[s], 0)  # free rows are -1; callers mask
+    coords = m.vox_coords[s]
     edge = params.voxel_size / (2.0 ** lv.astype(jnp.float32))
     center = (coords.astype(jnp.float32) + 0.5) * edge[..., None]
     return lv, center, edge
@@ -219,7 +226,7 @@ def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
     need_any = jnp.any(need_mask)
 
     def do(op):
-        tk, jr, nd = op
+        tk, jr, nd, vl, vc = op
         nz = vh.compact_indices(need_mask, ms.max_new, -1)
         sub_valid = nz >= 0
         sub_keys = keys[jnp.maximum(nz, 0)]
@@ -230,15 +237,20 @@ def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
         ).astype(jnp.int32)
         nd = (nd + n_over
               + jnp.sum(sub_valid & ~placed).astype(jnp.int32)).astype(jnp.int32)
-        # journey-stamp the fresh claims (all other fields are already zero —
-        # evict's rebuild zero-fills freed rows)
+        # journey-stamp + decoded-meta for the fresh claims (other fields
+        # are already zero — evict's rebuild clears freed rows)
         tgt = jnp.where(placed, slots, tk.shape[0])
         jr = jr.at[tgt].set(jour, mode="drop")
-        return new_tk, jr, nd
+        lv_new, crd_new = vh.decode(sub_keys)
+        vl = vl.at[tgt].set(lv_new, mode="drop")
+        vc = vc.at[tgt].set(crd_new, mode="drop")
+        return new_tk, jr, nd, vl, vc
 
-    tk, jr, nd = jax.lax.cond(
-        need_any, do, lambda op: op, (m.keys, m.jour, m.n_dropped))
-    return m._replace(keys=tk, jour=jr, n_dropped=nd), need_any
+    tk, jr, nd, vl, vc = jax.lax.cond(
+        need_any, do, lambda op: op,
+        (m.keys, m.jour, m.n_dropped, m.vox_level, m.vox_coords))
+    return m._replace(keys=tk, jour=jr, n_dropped=nd,
+                      vox_level=vl, vox_coords=vc), need_any
 
 
 def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
@@ -504,9 +516,10 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         insert (new_mask: OctoTree::push) or (b) its previous slot just
         split (subdivide's re-push, octree.cpp:283-300)."""
         sc = jnp.maximum(prev, 0)
-        key_ok = m.keys[sc] != vh.EMPTY_KEY
+        lv_c = m.vox_level[sc]
+        key_ok = lv_c >= 0  # free rows carry level -1
         was_split = flat_v & (prev >= 0) & key_ok & (m.state[sc] == 1)
-        lv_c, coords_c = vh.decode(m.keys[sc])
+        coords_c = m.vox_coords[sc]
         edge_c = params.voxel_size / (2.0 ** jnp.maximum(lv_c, 0).astype(jnp.float32))
         my_coords = vh.coords_of(flat_w, edge_c[:, None])
         ok_cached = (
@@ -853,6 +866,8 @@ def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic
             placed.reshape((-1,) + (1,) * (arr.ndim - 1)), arr,
             jnp.zeros_like(arr)), mode="drop")
 
+    vox_level = jnp.full_like(m.vox_level, -1).at[dst].set(
+        jnp.where(placed, m.vox_level, -1), mode="drop")
     m2 = VoxelMap(
         keys=new_keys,
         state=move(m.state), sealed=move(m.sealed),
@@ -863,6 +878,7 @@ def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic
         is_plane=move(m.is_plane),
         eig_val=move(m.eig_val), eig_vec=move(m.eig_vec),
         last_num=move(m.last_num), jour=move(m.jour),
+        vox_level=vox_level, vox_coords=move(m.vox_coords),
         n_dropped=m.n_dropped,
     )
     # pool entries of evicted voxels die with them; refresh cached slots
