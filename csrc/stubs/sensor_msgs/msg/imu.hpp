@@ -1,0 +1,42 @@
+// Minimal sensor_msgs::msg::Imu stand-in with the fields IMU_PRE::push_imu
+// reads (header.stamp, angular_velocity, linear_acceleration).
+#pragma once
+
+#include <cstdint>
+#include <memory>
+
+namespace builtin_interfaces {
+namespace msg {
+struct Time {
+  int32_t sec = 0;
+  uint32_t nanosec = 0;
+};
+}  // namespace msg
+}  // namespace builtin_interfaces
+
+namespace std_msgs {
+namespace msg {
+struct Header {
+  builtin_interfaces::msg::Time stamp;
+};
+}  // namespace msg
+}  // namespace std_msgs
+
+namespace geometry_msgs {
+namespace msg {
+struct Vector3 {
+  double x = 0, y = 0, z = 0;
+};
+}  // namespace msg
+}  // namespace geometry_msgs
+
+namespace sensor_msgs {
+namespace msg {
+struct Imu {
+  using SharedPtr = std::shared_ptr<Imu>;
+  std_msgs::msg::Header header;
+  geometry_msgs::msg::Vector3 angular_velocity;
+  geometry_msgs::msg::Vector3 linear_acceleration;
+};
+}  // namespace msg
+}  // namespace sensor_msgs

@@ -30,9 +30,11 @@ def main():
     cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
     cfg.local_ba.imu_coef = 2e-4
     cfg.general.if_BA = 1
-    cfg.tpu.map_capacity = 1 << 16
-    cfg.tpu.fix_pool_capacity = 1 << 16
+    # match bench.py's settings so the full-program compile cache is shared
+    cfg.tpu.map_capacity = 1 << 15
+    cfg.tpu.fix_pool_capacity = 1 << 15
     cfg.tpu.max_voxels_ba = 1024
+    cfg.tpu.max_new_voxels = 1024
     runner = SlamRunner(cfg, npad_map=4096)
 
     warm = 0

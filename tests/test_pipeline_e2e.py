@@ -79,3 +79,28 @@ def test_e2e_three_factor_ba():
     ie, ir = associate(traj[:, 0], ref_t)
     err = ate_rmse(traj[ie, 1:4], ref_p[ir])
     assert err < 0.05, f"3-factor BA ATE RMSE {err:.4f} m too large"
+
+
+@pytest.mark.slow
+def test_e2e_plain_iekf():
+    """Same sequence through the plain (non-VNC, 20-iteration) IEKF path
+    selected via Odometry.use_vnc=0 (odometry.cpp:64-68: the reference
+    exposes LioStateEstimation(pptr, use_vnc) with both budgets)."""
+    frames, gts = synth.simulate_sequence(
+        duration=3.0, n_az=180, n_el=12, noise=0.005,
+        imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
+
+    cfg = small_cfg()
+    cfg.odometry.use_vnc = 0
+    runner = SlamRunner(cfg, npad_map=8192)
+    for f in frames:
+        runner.process_frame(f)
+
+    assert not runner.motion_init_flag, "initialization must succeed"
+    traj = runner.trajectory()
+    from vina_slam_tpu.platform.metrics import associate
+    ref_t = np.asarray([t for (t, R, p) in gts])
+    ref_p = np.asarray([p for (t, R, p) in gts])
+    ie, ir = associate(traj[:, 0], ref_t)
+    err = ate_rmse(traj[ie, 1:4], ref_p[ir])
+    assert err < 0.05, f"plain-IEKF ATE RMSE {err:.4f} m too large"

@@ -1,0 +1,269 @@
+"""Cross-check the JAX kernels against the REFERENCE IMPLEMENTATION itself.
+
+csrc/oracle compiles the unmodified reference sources
+(src/mapping/factors.cpp, src/estimation/imu_preintegration.cpp) in place
+against minimal PCL/ROS stand-ins (csrc/stubs/) — so these tests compare
+vina_slam_tpu's factor/preintegration math against the actual C++ the
+reference ships, not against a same-author Python re-derivation
+(the correlated-oracle risk flagged in round-2 review).
+
+Skipped when the oracle binary cannot be built (no reference checkout or
+no toolchain)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, "csrc", "oracle")
+
+
+@pytest.fixture(scope="module")
+def oracle_bin():
+    if not os.path.exists(ORACLE):
+        r = subprocess.run(["make", "-C", os.path.join(REPO, "csrc"), "oracle"],
+                           capture_output=True, text=True, timeout=900)
+        if r.returncode != 0 or not os.path.exists(ORACLE):
+            pytest.skip(f"oracle build unavailable: {r.stderr[-400:]}")
+    return ORACLE
+
+
+def _run_oracle(oracle_bin, mode, fixture_text, tmp_path):
+    fix = tmp_path / f"{mode}.txt"
+    fix.write_text(fixture_text)
+    r = subprocess.run([oracle_bin, mode, str(fix)], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    return np.asarray([float(x) for x in r.stdout.split()])
+
+
+def _fmt(*arrays):
+    out = []
+    for a in arrays:
+        out.extend(f"{float(x):.17g}" for x in np.asarray(a, float).reshape(-1))
+    return " ".join(out) + "\n"
+
+
+def _rand_state(rng, i):
+    from vina_slam_tpu.core import so3
+    R = np.asarray(so3.exp(rng.normal(scale=0.2, size=3)))
+    return dict(
+        t=0.1 * i, R=R, p=rng.normal(scale=0.5, size=3) + [0, 0, 1],
+        v=rng.normal(scale=0.3, size=3), bg=rng.normal(scale=0.01, size=3),
+        ba=rng.normal(scale=0.05, size=3), g=np.asarray([0.0, 0.0, -9.8]),
+    )
+
+
+def _state_txt(s):
+    return _fmt([s["t"]], s["R"], s["p"], s["v"], s["bg"], s["ba"], s["g"])
+
+
+def _make_clusters(rng, W, V, empty_frames=()):
+    """Random per-(voxel, frame) BODY clusters from actual near-planar
+    points (PSD by construction), plus a world-frame fixed cluster."""
+    per = np.zeros((V, W, 3, 3))
+    vb = np.zeros((V, W, 3))
+    Nb = np.zeros((V, W))
+    fixP = np.zeros((V, 3, 3))
+    fixv = np.zeros((V, 3))
+    fixN = np.zeros(V)
+    for a in range(V):
+        nrm = rng.normal(size=3)
+        nrm /= np.linalg.norm(nrm)
+        base = rng.normal(scale=1.5, size=3)
+        for i in range(W):
+            if i in empty_frames:
+                continue
+            n = int(rng.integers(6, 15))
+            pts = base + rng.normal(scale=0.5, size=(n, 3))
+            pts -= 0.95 * np.outer(pts @ nrm, nrm)  # squash onto a plane
+            per[a, i] = pts.T @ pts
+            vb[a, i] = pts.sum(0)
+            Nb[a, i] = n
+        nfix = int(rng.integers(5, 12))
+        fpts = base + rng.normal(scale=0.5, size=(nfix, 3))
+        fpts -= 0.95 * np.outer(fpts @ nrm, nrm)
+        fixP[a] = fpts.T @ fpts
+        fixv[a] = fpts.sum(0)
+        fixN[a] = nfix
+    return per, vb, Nb, fixP, fixv, fixN
+
+
+def _ba_factors_from_raw(per, vb, Nb, fixP, fixv, fixN, n_ref):
+    """Convert raw body clusters to the repo's central parameterization
+    (factors.BAFactors) with voxel centers at the origin, so the fixed
+    cluster is shared verbatim with the oracle."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.mapping.factors import BAFactors
+
+    V, W = Nb.shape
+    mean = vb / np.maximum(Nb, 1.0)[..., None]
+    Pc = per - Nb[..., None, None] * mean[..., :, None] * mean[..., None, :]
+    return BAFactors(
+        Pb=jnp.asarray(Pc, jnp.float32), vb=jnp.asarray(mean, jnp.float32),
+        Nb=jnp.asarray(Nb, jnp.float32),
+        fix_P=jnp.asarray(fixP, jnp.float32),
+        fix_v=jnp.asarray(fixv, jnp.float32),
+        fix_N=jnp.asarray(fixN, jnp.float32),
+        centers=jnp.zeros((V, 3), jnp.float32),
+        n_ref=jnp.asarray(n_ref, jnp.float32),
+        coe=jnp.ones(V, jnp.float32),
+        n_valid=jnp.asarray(V, jnp.int32),
+    )
+
+
+def _lidar_fixture(rng, W=4, V=3, empty_frames=(2,)):
+    per, vb, Nb, fixP, fixv, fixN = _make_clusters(rng, W, V, empty_frames)
+    n_ref = rng.normal(size=(V, 3))
+    n_ref /= np.linalg.norm(n_ref, axis=1, keepdims=True)
+    states = [_rand_state(rng, i) for i in range(W)]
+    txt = _fmt([W], [V]) + "".join(_state_txt(s) for s in states)
+    for a in range(V):
+        txt += _fmt([1.0], n_ref[a], fixP[a], fixv[a], [fixN[a]])
+        for i in range(W):
+            txt += _fmt(per[a, i], vb[a, i], [Nb[a, i]])
+    Rs = np.stack([s["R"] for s in states])
+    ps = np.stack([s["p"] for s in states])
+    f = _ba_factors_from_raw(per, vb, Nb, fixP, fixv, fixN, n_ref)
+    return txt, f, Rs, ps
+
+
+def test_lidar_factor_matches_reference(oracle_bin, tmp_path):
+    """lidar_acc vs LidarFactor::acc_evaluate2 (factors.cpp:22-126)."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.mapping.factors import lidar_acc, lidar_residual
+
+    rng = np.random.default_rng(7)
+    W, V = 4, 3
+    txt, f, Rs, ps = _lidar_fixture(rng, W, V)
+    out = _run_oracle(oracle_bin, "lidar", txt, tmp_path)
+    res_ref = out[0]
+    jac_ref = out[1:1 + 6 * W]
+    hess_ref = out[1 + 6 * W:].reshape(6 * W, 6 * W)
+
+    res, jac, hess = lidar_acc(f, jnp.asarray(Rs), jnp.asarray(ps), W)
+    res2 = lidar_residual(f, jnp.asarray(Rs), jnp.asarray(ps))
+    np.testing.assert_allclose(float(res), res_ref, rtol=5e-4)
+    np.testing.assert_allclose(float(res2), res_ref, rtol=5e-4)
+    scale = np.abs(jac_ref).max()
+    np.testing.assert_allclose(np.asarray(jac), jac_ref,
+                               rtol=3e-3, atol=3e-3 * scale)
+    hscale = np.abs(hess_ref).max()
+    np.testing.assert_allclose(np.asarray(hess), hess_ref,
+                               rtol=3e-3, atol=3e-3 * hscale)
+
+
+def test_normal_factor_matches_reference(oracle_bin, tmp_path):
+    """normal_acc vs NormalFactor::acc_evaluate2 (factors.cpp:185-304)."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.mapping.factors import normal_acc, normal_residual
+
+    rng = np.random.default_rng(11)
+    W, V = 4, 3
+    txt, f, Rs, ps = _lidar_fixture(rng, W, V, )
+    out = _run_oracle(oracle_bin, "normal", txt, tmp_path)
+    res_ref = out[0]
+    jac_ref = out[1:1 + 6 * W]
+    hess_ref = out[1 + 6 * W:].reshape(6 * W, 6 * W)
+
+    res, jac, hess = normal_acc(f, jnp.asarray(Rs), jnp.asarray(ps), W)
+    res2 = normal_residual(f, jnp.asarray(Rs), jnp.asarray(ps))
+    np.testing.assert_allclose(float(res), res_ref, rtol=2e-3, atol=1e-9)
+    np.testing.assert_allclose(float(res2), res_ref, rtol=2e-3, atol=1e-9)
+    scale = max(np.abs(jac_ref).max(), 1e-9)
+    np.testing.assert_allclose(np.asarray(jac), jac_ref,
+                               rtol=5e-3, atol=5e-3 * scale)
+    hscale = max(np.abs(hess_ref).max(), 1e-9)
+    np.testing.assert_allclose(np.asarray(hess), hess_ref,
+                               rtol=5e-3, atol=5e-3 * hscale)
+
+
+def test_preintegration_matches_reference(oracle_bin, tmp_path):
+    """build_factor + evaluate vs IMU_PRE::push_imu + give_evaluate[_g]
+    (imu_preintegration.cpp:31-237), including nonzero first-order bias
+    corrections dbg/dba."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.core.state import NavState
+    from vina_slam_tpu.estimation import preintegration as pre
+
+    rng = np.random.default_rng(3)
+    n = 12
+    t = np.cumsum(rng.uniform(0.004, 0.012, n))
+    gyr = rng.normal(scale=0.4, size=(n, 3))
+    acc = rng.normal(scale=0.5, size=(n, 3)) + [0, 0, 9.8]
+    # quantize stamps to ns exactly like the oracle's sec/nanosec roundtrip
+    t = np.round(t * 1e9) / 1e9
+    nm = np.diag(rng.uniform(1e-4, 5e-4, 6))
+    nw = np.diag(rng.uniform(1e-6, 5e-6, 6))
+    scale_g = 1.0
+    bg = rng.normal(scale=0.01, size=3)
+    ba = rng.normal(scale=0.05, size=3)
+    dbg = rng.normal(scale=0.002, size=3)
+    dba = rng.normal(scale=0.01, size=3)
+    s1 = _rand_state(rng, 0)
+    s2 = _rand_state(rng, 1)
+
+    txt = _fmt(nm, nw, [scale_g], bg, ba, [n])
+    for i in range(n):
+        txt += _fmt([t[i]], gyr[i], acc[i])
+    txt += _fmt(dbg, dba) + _state_txt(s1) + _state_txt(s2)
+    out = _run_oracle(oracle_bin, "preint", txt, tmp_path)
+    D = 15
+    k = 0
+    res_ref = out[k]; k += 1
+    gg_ref = out[k:k + 2 * D]; k += 2 * D
+    jtj_ref = out[k:k + 4 * D * D].reshape(2 * D, 2 * D); k += 4 * D * D
+    resg_ref = out[k]; k += 1
+    ggg_ref = out[k:k + 2 * D + 3]; k += 2 * D + 3
+    jtjg_ref = out[k:].reshape(2 * D + 3, 2 * D + 3)
+
+    # my side: midpoint arrays from the raw samples (push_imu, cpp:36-49)
+    gm = 0.5 * (gyr[:-1] + gyr[1:])
+    am = 0.5 * (acc[:-1] + acc[1:])
+    dt = t[1:] - t[:-1]
+    valid = np.ones(n - 1, bool)
+    f = pre.build_factor(jnp.asarray(gm), jnp.asarray(am), jnp.asarray(dt),
+                         jnp.asarray(valid), jnp.asarray(bg), jnp.asarray(ba),
+                         jnp.asarray(nm), jnp.asarray(nw),
+                         jnp.asarray(scale_g))
+    f = f._replace(dbg=jnp.asarray(dbg), dba=jnp.asarray(dba))
+
+    def nav(s):
+        return NavState(R=jnp.asarray(s["R"]), p=jnp.asarray(s["p"]),
+                        v=jnp.asarray(s["v"]), bg=jnp.asarray(s["bg"]),
+                        ba=jnp.asarray(s["ba"]), g=jnp.asarray(s["g"]),
+                        t=jnp.asarray(s["t"]),
+                        cov=jnp.zeros((15, 15), jnp.float64))
+
+    # NB: the reference inverts cov fresh inside give_evaluate; my factor
+    # caches cov_inv at build. The covariance recursion runs in f32 on my
+    # side (documented choice) so allow a looser tolerance on the weighted
+    # quantities but compare the residual geometry tightly.
+    cost, joca, jocb, jocg, rr, cov_inv = pre.evaluate(f, nav(s1), nav(s2),
+                                                       with_gravity=False)
+    joc = np.concatenate([np.asarray(joca), np.asarray(jocb)], axis=1)
+    jtj = joc.T @ np.asarray(cov_inv) @ joc
+    gg = joc.T @ np.asarray(cov_inv) @ np.asarray(rr)
+    np.testing.assert_allclose(float(cost), res_ref, rtol=2e-3)
+    np.testing.assert_allclose(gg, gg_ref, rtol=2e-3,
+                               atol=2e-3 * np.abs(gg_ref).max())
+    np.testing.assert_allclose(jtj, jtj_ref, rtol=2e-3,
+                               atol=2e-3 * np.abs(jtj_ref).max())
+
+    costg, joca, jocb, jocg, rr, cov_inv = pre.evaluate(
+        f, nav(s1), nav(s2), with_gravity=True)
+    jocg_full = np.concatenate(
+        [np.asarray(joca), np.asarray(jocb), np.asarray(jocg)], axis=1)
+    jtjg = jocg_full.T @ np.asarray(cov_inv) @ jocg_full
+    ggg = jocg_full.T @ np.asarray(cov_inv) @ np.asarray(rr)
+    np.testing.assert_allclose(float(costg), resg_ref, rtol=2e-3)
+    np.testing.assert_allclose(ggg, ggg_ref, rtol=2e-3,
+                               atol=2e-3 * np.abs(ggg_ref).max())
+    np.testing.assert_allclose(jtjg, jtjg_ref, rtol=2e-3,
+                               atol=2e-3 * np.abs(jtjg_ref).max())

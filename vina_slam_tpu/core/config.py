@@ -53,6 +53,11 @@ class OdometryConfig:
     min_eigen_value: float = 0.0025
     degrade_bound: int = 10
     point_notime: int = 0
+    # IEKF flavor: 1 = VNC odometry (4 iterations, scan-plane normal
+    # residuals), 0 = plain point-to-plane IEKF (20 iterations). The
+    # reference exposes both via LioStateEstimation(pptr, use_vnc) with
+    # iteration budgets at src/pipeline/odometry.cpp:64-68.
+    use_vnc: int = 1
 
 
 @dataclass
@@ -94,6 +99,8 @@ class TpuConfig:
     active_cap: int = 4096             # leaves refit per recut/margi wave
     refind_cap: int = 4096             # cache-miss points re-descended/wave
     pool_move_cap: int = 2048          # pool points redistributed per wave
+    evict_dist: float = 700.0          # map release distance (reference
+                                       # hardcodes 700 m, local_mapping.cpp:323)
     scan_dtype: str = "float32"
     solve_dtype: str = "float64"
 

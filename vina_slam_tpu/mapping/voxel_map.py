@@ -56,6 +56,9 @@ class MapStatic(NamedTuple):
     active_cap: int = 1 << 14  # max leaves refit per recut wave (compaction)
     refind_cap: int = 1 << 14  # max cache-miss points re-descended per recut
     pool_move_cap: int = 1 << 14  # max pool points redistributed per split wave
+    evict_dist: float = 700.0  # journey-distance release threshold
+                               # (local_mapping.cpp:323); configurable so
+                               # tests can exercise eviction on short runs
 
 
 class MapParams(NamedTuple):
@@ -845,12 +848,15 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
 
 # ----------------------------------------------------------------- evict
 
-@partial(jax.jit, static_argnames=("ms",))
+@partial(jax.jit, static_argnames=("ms", "dist"))
 def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic,
-          dist: float = 700.0):
+          dist: float | None = None):
     """Distance-based map release (local_mapping.cpp:317-344): rebuild the
-    table keeping only entries visited within `dist` journey units. Rebuild
-    (rather than tombstoning) keeps probe chains intact."""
+    table keeping only entries visited within `dist` journey units (default
+    ms.evict_dist). Rebuild (rather than tombstoning) keeps probe chains
+    intact."""
+    if dist is None:
+        dist = ms.evict_dist
     keep = (m.keys != vh.EMPTY_KEY) & (cur_jour - m.jour < dist)
     old_keys = jnp.where(keep, m.keys, vh.EMPTY_KEY)
     fresh = jnp.full_like(m.keys, vh.EMPTY_KEY)

@@ -97,11 +97,11 @@ def steady_step(
     ms: vm.MapStatic, W: int, Vmax: int,
     cfgs,  # hashable tuple: (down_size, dept_err, beam_err, if_ba, npad_map,
            #                  plane_thre0..3 as floats, min_eigen, max_iter_ba,
-           #                  use_normal)
+           #                  use_normal, use_vnc)
     stop_after: str = "all",  # profiling bisect: compile a prefix program
 ):
     (down_size, dept_err, beam_err, if_ba, npad_map, pt0, pt1, pt2, pt3,
-     min_eig_f, ba_iters, use_normal) = cfgs
+     min_eig_f, ba_iters, use_normal, use_vnc) = cfgs
     x = st.x
 
     # ---------------- EKF propagation + deskew ----------------
@@ -139,11 +139,17 @@ def steady_step(
     odo_body, odo_var = pointcov.var_init(ext_R32, ext_p32, deskewed, dept_err, beam_err)
 
     # ---------------- VNC scan planes + IEKF ----------------
-    planes = odom.extract_scan_planes(
-        odo_body, pts_valid, params.voxel_size, params.min_eigen_value,
-        (pt0, pt1, pt2, pt3), levels=ms.levels)
+    # plain path (use_vnc=0): skip scan-plane extraction, run the
+    # 20-iteration budget (odometry.cpp:64-68)
+    if use_vnc:
+        planes = odom.extract_scan_planes(
+            odo_body, pts_valid, params.voxel_size, params.min_eigen_value,
+            (pt0, pt1, pt2, pt3), levels=ms.levels)
+    else:
+        planes = odom.empty_scan_planes()
     res = odom.iekf_update(x, st.m, odo_body, odo_var, pts_valid, planes,
-                           params, ms, max_iter=4, use_vnc=True)
+                           params, ms, max_iter=4 if use_vnc else 20,
+                           use_vnc=use_vnc)
     x = res.x
     degrade_cnt = jnp.where(res.ok, jnp.maximum(st.degrade_cnt - 1, 0),
                             st.degrade_cnt + 1)
@@ -271,7 +277,7 @@ def steady_step(
         return mm, pp, jnp.asarray(True)
 
     evictable = jnp.any((m.keys != vm.vh.EMPTY_KEY)
-                        & (jour - m.jour >= 700.0))
+                        & (jour - m.jour >= ms.evict_dist))
     m, pool, evicted = jax.lax.while_loop(
         lambda c: ~c[2] & move & evictable, evict_body,
         (m, pool, jnp.asarray(False)))

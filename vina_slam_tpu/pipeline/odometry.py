@@ -40,6 +40,20 @@ class ScanPlanes(NamedTuple):
     valid: jnp.ndarray    # (S,)
 
 
+def empty_scan_planes(max_out: int = 512) -> ScanPlanes:
+    """All-invalid ScanPlanes placeholder for the plain (use_vnc=0) IEKF
+    path, where the reference never builds the scan-voxel map
+    (odometry.cpp:64-68 vs :85-96)."""
+    f32 = jnp.float32
+    return ScanPlanes(
+        center=jnp.zeros((max_out, 3), f32),
+        normal=jnp.zeros((max_out, 3), f32),
+        quality=jnp.zeros((max_out,), f32),
+        sigma_n=jnp.zeros((max_out,), f32),
+        valid=jnp.zeros((max_out,), bool),
+    )
+
+
 @partial(jax.jit, static_argnames=("levels", "caps", "max_out"))
 def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
                         levels: int = 3, caps=(2048, 4096, 8192),

@@ -121,7 +121,7 @@ class SlamRunner:
             probe=tp.probe_len, max_new=tp.max_new_voxels,
             pool_capacity=tp.fix_pool_capacity,
             active_cap=tp.active_cap, refind_cap=tp.refind_cap,
-            pool_move_cap=tp.pool_move_cap)
+            pool_move_cap=tp.pool_move_cap, evict_dist=tp.evict_dist)
         self.params = vm.MapParams(
             voxel_size=jnp.asarray(o.voxel_size, jnp.float32),
             min_eigen_value=jnp.asarray(o.min_eigen_value, jnp.float32),
@@ -234,7 +234,8 @@ class SlamRunner:
                       bool(self.cfg.general.if_BA), int(self.npad_map),
                       *[float(v) for v in np.asarray(self.params.plane_thre)],
                       float(o.min_eigen_value),
-                      3 if use_normal else 10, use_normal)
+                      3 if use_normal else 10, use_normal,
+                      bool(o.use_vnc))
 
     def fused_args(self, frame: Frame, imu_bucket: int | None = None):
         """Host-side packaging of one frame into steady_step's positional
@@ -302,6 +303,16 @@ class SlamRunner:
         self._pending_rows += 1
         if self._pending_rows >= self.fetch_every:
             self.drain_traj()
+            # config-gated geometric-degeneracy recovery, fused mode: the
+            # counter accumulates on-device (fused.steady_step) and is
+            # inspected at the fetch cadence (local_mapping.cpp:474-487 —
+            # compiled out via `if (0)` in the reference; kept behind the
+            # same flag as the modular path)
+            if (self.enable_degrade_reset
+                    and self.stats.degrade_cnt > self.cfg.odometry.degrade_bound):
+                self.system_reset(frame.imu)
+                return {"reset": True, "t": float(frame.end_time),
+                        "degenerate": True}
         return {"queued": True, "t": float(frame.end_time)}
 
     def sync_from_fused(self):
@@ -368,15 +379,23 @@ class SlamRunner:
         map_body, map_var = _var_init_jit(dpts, ext_R, ext_p, o.dept_err, o.beam_err)
         odo_body, odo_var = _var_init_jit(full_pts, ext_R, ext_p, o.dept_err, o.beam_err)
 
-        # VNC scan planes on the full-res body cloud (odometry.cpp:85-96)
-        planes = odom.extract_scan_planes(
-            odo_body, full_valid, self.params.voxel_size,
-            self.params.min_eigen_value, tuple(np.asarray(self.params.plane_thre)),
-            levels=self.ms.levels)
+        # VNC scan planes on the full-res body cloud (odometry.cpp:85-96);
+        # the plain path (use_vnc=0) skips scan-plane extraction entirely
+        # and runs the 20-iteration budget (odometry.cpp:64-68)
+        use_vnc = bool(self.cfg.odometry.use_vnc)
+        if use_vnc:
+            planes = odom.extract_scan_planes(
+                odo_body, full_valid, self.params.voxel_size,
+                self.params.min_eigen_value,
+                tuple(np.asarray(self.params.plane_thre)),
+                levels=self.ms.levels)
+        else:
+            planes = odom.empty_scan_planes()
 
         res = odom.iekf_update(
             self.x_curr, self.map, odo_body, odo_var, full_valid, planes,
-            self.params, self.ms, max_iter=4, use_vnc=True)
+            self.params, self.ms, max_iter=4 if use_vnc else 20,
+            use_vnc=use_vnc)
         self.x_curr = res.x
         if bool(res.ok):
             self.stats.degrade_cnt = max(0, self.stats.degrade_cnt - 1)
@@ -514,9 +533,10 @@ class SlamRunner:
             # rebuild only if the table actually holds entries older than the
             # release distance (reference idle-tick semantics,
             # local_mapping.cpp:317-344) — not on every movement tick
-            if self.jour > 700.0 and bool(jnp.any(
+            ed = self.ms.evict_dist
+            if self.jour > ed and bool(jnp.any(
                     (self.map.keys != vm.vh.EMPTY_KEY)
-                    & (self.jour - self.map.jour >= 700.0))):
+                    & (self.jour - self.map.jour >= ed))):
                 self.map, self.pool = vm.evict(
                     self.map, self.pool, jnp.asarray(self.jour, jnp.float32),
                     self.params, self.ms)

@@ -60,6 +60,48 @@ def default_world() -> List[PlanePatch]:
     return patches
 
 
+def corridor_world(length: float = 120.0, width: float = 4.0,
+                   height: float = 3.0, x0: float = -6.0,
+                   lobby: bool = True) -> List[PlanePatch]:
+    """A long corridor along +x with NO x-facing surfaces except the lobby's
+    back wall — the degenerate geometry of config/compus_elevator.yaml
+    (elevator/corridor): once the sensor is out of range of the back wall,
+    every visible normal lies in span{y, z}, so lambda_min(sum n n^T) along x
+    collapses and translation along the corridor is unobservable from
+    point-to-plane matches (the regime VNC + the degeneracy gate exist for,
+    src/pipeline/odometry.cpp:244-254, docs/VNCLio_formulation.md:130-194).
+
+    The lobby is an x0-anchored open-ended room section giving full
+    observability for motion_init (its back wall at x=x0 faces +x)."""
+    ex, ey, ez = np.eye(3)
+    cx = x0 + length / 2.0
+    hy, hz = width / 2.0, height / 2.0
+    cz = hz
+    out = [
+        # side walls (normals +-y), floor, ceiling (normals +-z)
+        PlanePatch(q=np.array([cx, +hy, cz]), n=-ey, u=ex, v=ez,
+                   hu=length / 2, hv=hz),
+        PlanePatch(q=np.array([cx, -hy, cz]), n=+ey, u=ex, v=ez,
+                   hu=length / 2, hv=hz),
+        PlanePatch(q=np.array([cx, 0.0, 0.0]), n=+ez, u=ex, v=ey,
+                   hu=length / 2, hv=hy),
+        PlanePatch(q=np.array([cx, 0.0, height]), n=-ez, u=ex, v=ey,
+                   hu=length / 2, hv=hy),
+    ]
+    if lobby:
+        # back wall (the only x-facing surface) + a couple of slabs near the
+        # start so initialization sees a diverse normal spread
+        out.append(PlanePatch(q=np.array([x0, 0.0, cz]), n=ex, u=ey, v=ez,
+                              hu=hy, hv=hz))
+        out.append(PlanePatch(q=np.array([x0 + 3.0, hy - 0.8, 1.0]),
+                              n=(ex + ey) / np.sqrt(2),
+                              u=(ex - ey) / np.sqrt(2), v=ez, hu=0.8, hv=0.8))
+        out.append(PlanePatch(q=np.array([x0 + 5.0, -hy + 0.9, 0.9]),
+                              n=(ex - ey) / np.sqrt(2),
+                              u=(ex + ey) / np.sqrt(2), v=ez, hu=0.8, hv=0.8))
+    return out
+
+
 def _rotz(a):
     c, s = np.cos(a), np.sin(a)
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
@@ -107,6 +149,43 @@ class Trajectory:
 
     def pose(self, t):
         return self.rot(t), self.pos(t)
+
+
+class LinearTrajectory(Trajectory):
+    """Constant-speed run down the +x axis with gentle yaw/pitch wiggle —
+    the corridor-traversal motion profile (reach cruise speed after `ramp`
+    seconds of constant acceleration)."""
+
+    def __init__(self, speed: float = 8.0, ramp: float = 1.5,
+                 yaw_amp: float = 0.10, wiggle: float = 0.04,
+                 origin=(0.0, 0.0, 1.2)):
+        self.speed = speed
+        self.ramp = ramp
+        self.yaw_amp = yaw_amp
+        self.wiggle = wiggle
+        self.origin = np.asarray(origin, np.float64)
+
+    def pos(self, t):
+        t = float(t)
+        if t <= 0.0:
+            x = 0.0
+        elif t <= self.ramp:
+            x = 0.5 * self.speed * t * t / self.ramp
+        else:
+            x = self.speed * (t - 0.5 * self.ramp)
+        s = self._s(t)
+        return self.origin + np.array([
+            x,
+            s * 0.25 * np.sin(2 * np.pi * 0.21 * t),
+            s * 0.08 * np.sin(2 * np.pi * 0.37 * t),
+        ])
+
+    def rot(self, t):
+        s = self._s(t)
+        yaw = s * self.yaw_amp * np.sin(2 * np.pi * 0.3 * t)
+        roll = s * self.wiggle * np.sin(2 * np.pi * 0.5 * t)
+        pitch = s * self.wiggle * np.sin(2 * np.pi * 0.33 * t + 1.0)
+        return _rotz(yaw) @ _roty(pitch) @ _rotx(roll)
 
 
 def imu_sample(traj: Trajectory, t: float, h: float = 1e-4):
@@ -159,6 +238,7 @@ def simulate_scan(
     noise: float = 0.0,
     rng: np.random.Generator | None = None,
     el_range=(-0.35, 0.35),
+    max_range: float = 80.0,
 ) -> DecodedScan:
     """One spinning-LiDAR sweep starting at t0: n_az columns x n_el rings,
     each column cast from the sensor pose at its own firing time."""
@@ -182,7 +262,7 @@ def simulate_scan(
         R_l = R_imu @ ext_R
         p_l = R_imu @ ext_p + p_imu
         dw = d_body[j] @ R_l.T
-        rr = raycast(np.broadcast_to(p_l, (n_el, 3)), dw, patches)
+        rr = raycast(np.broadcast_to(p_l, (n_el, 3)), dw, patches, max_range)
         ok = np.isfinite(rr)
         if ok.any():
             pb = d_body[j][ok] * rr[ok, None]
@@ -213,6 +293,7 @@ def simulate_events(
     ext_p=None,
     start_time: float = 10.0,
     static_lead: float = 1.0,
+    max_range: float = 80.0,
 ):
     """Raw time-ordered sensor events BEFORE frame assembly: a list of
     ("imu", t, gyr, acc_gunits) and ("scan", DecodedScan) entries plus
@@ -249,6 +330,7 @@ def simulate_events(
             scan = simulate_scan(
                 traj, tau, patches, n_az=n_az, n_el=n_el, span=span,
                 ext_R=ext_R, ext_p=ext_p, noise=noise, rng=rng,
+                max_range=max_range,
             )
             scan.stamp = t
             out.append(("scan", scan))
@@ -273,6 +355,7 @@ def simulate_sequence(
     ext_p=None,
     start_time: float = 10.0,
     static_lead: float = 1.0,
+    max_range: float = 80.0,
 ):
     """Full sequence: returns (frames, ground_truth) where frames come out of
     a FrameAssembler exactly as the live pipeline would see them, and
@@ -286,7 +369,7 @@ def simulate_sequence(
         patches=patches, n_az=n_az, n_el=n_el, noise=noise,
         imu_noise_gyr=imu_noise_gyr, imu_noise_acc=imu_noise_acc, seed=seed,
         ext_R=ext_R, ext_p=ext_p, start_time=start_time,
-        static_lead=static_lead)
+        static_lead=static_lead, max_range=max_range)
     asm = FrameAssembler()
     frames = []
     for ev in events:
