@@ -171,6 +171,62 @@ int64_t vs_postprocess(int64_t n, float* xyz, float* inten, float* t) {
   return m;
 }
 
+// ------------------------------------------------- Livox CustomMsg (CDR)
+
+// One-pass livox_ros_driver2/msg/CustomMsg decode from the raw CDR message
+// body (INCLUDING the 4-byte representation header): header parse + point
+// extraction + point_filter_num stride + blind cull + ns->s time scale in a
+// single sweep (fuses rosbag.parse_livox_custom + decoders.decode_livox).
+// Returns kept count (or -1 on malformed input); writes the header stamp
+// to *stamp_out. Caller sizes outputs to (len / 20) points.
+int64_t vs_decode_livox_cdr(const uint8_t* msg, int64_t len, int filter_num,
+                            float blind_sq, float* out_xyz, float* out_int,
+                            float* out_t, double* stamp_out) {
+  if (len < 4) return -1;
+  const uint8_t* buf = msg + 4;  // skip CDR representation header
+  int64_t blen = len - 4;
+  int64_t pos = 0;
+  auto align = [&](int64_t n) { int64_t r = pos % n; if (r) pos += n - r; };
+  auto rd_u32 = [&]() { align(4); uint32_t v; std::memcpy(&v, buf + pos, 4); pos += 4; return v; };
+  auto rd_i32 = [&]() { align(4); int32_t v; std::memcpy(&v, buf + pos, 4); pos += 4; return v; };
+
+  if (blen < 16) return -1;
+  int32_t sec = rd_i32();
+  uint32_t nsec = rd_u32();
+  *stamp_out = (double)sec + 1e-9 * (double)nsec;
+  uint32_t slen = rd_u32();           // frame_id string
+  pos += slen;
+  align(8); pos += 8;                 // timebase u64
+  if (pos + 16 > blen) return -1;
+  uint32_t point_num = rd_u32();
+  pos += 1 + 3;                       // lidar_id + rsvd[3]
+  uint32_t n = rd_u32();
+  if (point_num && point_num < n) n = point_num;
+  align(4);
+  if (filter_num < 1) filter_num = 1;
+
+  int64_t m = 0;
+  for (uint32_t i = 0; i < n; i++) {
+    int64_t p = pos + (int64_t)i * 20;
+    if (p + 17 > blen) break;         // final record may omit its pad byte
+    float x, y, z;
+    uint32_t off;
+    std::memcpy(&off, buf + p, 4);
+    std::memcpy(&x, buf + p + 4, 4);
+    std::memcpy(&y, buf + p + 8, 4);
+    std::memcpy(&z, buf + p + 12, 4);
+    float r2 = x * x + y * y + z * z;
+    if (!keep_stride_blind(i, r2, filter_num, blind_sq)) continue;
+    out_xyz[3 * m] = x;
+    out_xyz[3 * m + 1] = y;
+    out_xyz[3 * m + 2] = z;
+    out_int[m] = (float)buf[p + 16];
+    out_t[m] = (float)(off * 1e-9);
+    m++;
+  }
+  return m;
+}
+
 // ---------------------------------------------------- PointCloud2 parsing
 
 // Extract float32/float64/uint32 fields from a packed point blob

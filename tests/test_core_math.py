@@ -115,6 +115,29 @@ class TestEigh3:
         w_ref = np.linalg.eigvalsh(A.astype(np.float64))
         np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-6)
 
+    def test_componentwise_matches_matrix_form(self):
+        """eigh3c (flat lane-packed columns, used by the dense recut refit)
+        agrees with eigh3 on eigenvalues and eigenvector directions."""
+        B = rng.normal(size=(500, 3, 3)).astype(np.float32)
+        A = B @ np.swapaxes(B, -1, -2)
+        A[0] = np.eye(3)
+        A[1] = 0.0
+        A[2] = np.diag([1.0, 1.0, 5.0])
+        w, V = eigh3.eigh3(jnp.asarray(A))
+        (w0, w1, w2), Vc = eigh3.eigh3c(
+            jnp.asarray(A[:, 0, 0]), jnp.asarray(A[:, 0, 1]),
+            jnp.asarray(A[:, 0, 2]), jnp.asarray(A[:, 1, 1]),
+            jnp.asarray(A[:, 1, 2]), jnp.asarray(A[:, 2, 2]))
+        wc = np.stack([w0, w1, w2], -1)
+        np.testing.assert_allclose(np.asarray(w), wc, rtol=1e-4, atol=1e-4)
+        # eigenvector residual ||A v - w v|| small for well-separated rows
+        Vm = np.stack([np.stack(Vc[k], -1) for k in range(3)], -1)  # (n,3,3)
+        gaps = np.minimum(wc[:, 1] - wc[:, 0], wc[:, 2] - wc[:, 1])
+        sep = gaps > 1e-2 * (1 + np.abs(wc).max(axis=-1))
+        resid = np.einsum("nij,njk->nik", A, Vm) - wc[:, None, :] * Vm
+        denom = 1.0 + np.abs(wc).max(axis=-1)
+        assert (np.abs(resid).max(axis=(1, 2)) / denom)[sep].max() < 1e-3
+
 
 class TestCluster:
     def test_from_points_and_cov(self):

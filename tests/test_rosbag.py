@@ -192,3 +192,38 @@ class TestBagWriterRoundtrip:
         np.testing.assert_array_equal(frames[0].scan.pts, pts)
         # offset_time quantizes to whole ns
         np.testing.assert_allclose(frames[0].scan.rel_time, rel, atol=1e-6)
+
+
+def test_livox_cdr_three_way_equivalence():
+    """The strided-NumPy CustomMsg parser, the per-point reference parser,
+    and the native one-pass CDR decoder (csrc vs_decode_livox_cdr) agree
+    bit-exactly on the same payload."""
+    from vina_slam_tpu.platform import rosbag_write as rw
+    from vina_slam_tpu.sensor import native
+
+    n = 257  # odd size: exercises the missing-final-pad-byte path
+    x = rng.uniform(-5, 5, n).astype(np.float32)
+    y = rng.uniform(-5, 5, n).astype(np.float32)
+    z = rng.uniform(-5, 5, n).astype(np.float32)
+    refl = rng.integers(0, 255, n).astype(np.float32)
+    offs = np.sort(rng.integers(0, 90_000_000, n)).astype(np.float64)
+    msg = rw.encode_livox_custom(42.5, x, y, z, refl, offs)
+
+    s_fast, f_fast = rosbag.parse_livox_custom(msg)
+    s_slow, f_slow = rosbag.parse_livox_custom_slow(msg)
+    assert s_fast == s_slow
+    for k in f_slow:
+        np.testing.assert_array_equal(f_fast[k], f_slow[k])
+
+    if native.available():
+        scan = native.decode_livox_cdr(msg, filter_num=1, blind=0.0)
+        assert scan is not None
+        np.testing.assert_array_equal(
+            scan.pts, np.stack([x, y, z], axis=1))
+        np.testing.assert_array_equal(scan.intensity, refl)
+        np.testing.assert_allclose(scan.rel_time, offs * 1e-9, atol=1e-9)
+        assert abs(scan.stamp - 42.5) < 1e-9
+        # filter/blind semantics match the python decoder chain
+        scan2 = native.decode_livox_cdr(msg, filter_num=3, blind=2.0)
+        keep = (np.arange(n) % 3 == 0) & (x * x + y * y + z * z > 4.0)
+        assert scan2.pts.shape[0] == int(keep.sum())

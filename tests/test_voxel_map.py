@@ -82,6 +82,38 @@ class TestHash:
         got = np.asarray(vh.compact_indices(mask, 16, -1))
         np.testing.assert_array_equal(got, np.arange(16))
 
+    def test_compact_indices_size_exceeds_n(self):
+        mask = jnp.asarray([True, False, True])
+        got = np.asarray(vh.compact_indices(mask, 8, -1))
+        np.testing.assert_array_equal(got, [0, 2, -1, -1, -1, -1, -1, -1])
+
+    def test_find_slots_fp_matches_exact(self):
+        """The fingerprint row-gather lookup agrees with the exact int64
+        probe on present keys, absent keys, and empty-window detection."""
+        rng = np.random.default_rng(11)
+        for probe in (8, 16):
+            C = 1 << 12
+            keys = jnp.full((C,), vh.EMPTY_KEY, jnp.int64)
+            fkeys = jnp.zeros(C, jnp.int32)
+            coords = jnp.asarray(rng.integers(-80, 80, size=(900, 3)),
+                                 jnp.int32)
+            new = vh.encode(0, coords)
+            uniq, uvalid = vh.unique_keys(new, jnp.ones(900, bool), 1024)
+            keys, slots, placed = vh.insert_keys(keys, uniq, uvalid,
+                                                 probe, rounds=probe)
+            tgt = jnp.where(placed, slots, C)
+            fkeys = fkeys.at[tgt].set(vh.fingerprint32(uniq), mode="drop")
+            # present + absent queries (exclude the EMPTY_KEY padding rows
+            # of uniq: find_slots "finds" EMPTY_KEY in any empty slot,
+            # which callers always mask out)
+            absent = vh.encode(1, coords[:200])
+            q = jnp.concatenate([uniq, absent])
+            qvalid = np.concatenate(
+                [np.asarray(uvalid), np.ones(200, bool)])
+            exact = np.asarray(vh.find_slots(keys, q, probe))[qvalid]
+            fp = np.asarray(vh.find_slots_fp(fkeys, q, probe))[qvalid]
+            np.testing.assert_array_equal(exact, fp)
+
 
 def _insert_cloud(m, pts, par, jour=0.0):
     pts = jnp.asarray(pts, jnp.float32)

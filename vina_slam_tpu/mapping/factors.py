@@ -91,7 +91,7 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
         (m.keys != vh.EMPTY_KEY) & (m.state == 0) & m.is_plane
         & (ratio <= 0.12) & (win_count > 0)
     )
-    idx = jnp.nonzero(cond, size=V, fill_value=-1)[0]
+    idx = vh.compact_indices(cond, V, -1)
     vvalid = idx >= 0
     safe = jnp.maximum(idx, 0)
 

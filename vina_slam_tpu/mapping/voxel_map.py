@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from vina_slam_tpu.core import cluster as cl
 from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.mat3 import bmm, bmmT, bmv
-from vina_slam_tpu.core.eigh3 import eigh3
+from vina_slam_tpu.core.eigh3 import eigh3, eigh3c
 from vina_slam_tpu.mapping import voxel_hash as vh
 
 
@@ -85,6 +85,11 @@ def default_params(voxel_size=1.0, min_eigen_value=0.0025,
 
 class VoxelMap(NamedTuple):
     keys: jnp.ndarray          # (C,) int64, EMPTY_KEY when free
+    fkeys: jnp.ndarray         # (C,) int32 fingerprint shadow of `keys`
+                               # (0 when free): lookups probe this table as
+                               # contiguous 8-wide row gathers (~3x cheaper
+                               # than int64 element gathers); the int64 keys
+                               # stay authoritative for insertion
     state: jnp.ndarray         # (C,) int32: 0 leaf, 1 split
     sealed: jnp.ndarray        # (C,) bool: fixed stats frozen (>= max_points)
     fix_P: jnp.ndarray         # (C, 3, 3) f32, voxel-center-relative
@@ -95,6 +100,10 @@ class VoxelMap(NamedTuple):
                                # reference's ever-growing cov_add, octree.cpp:173-176)
     plane_center: jnp.ndarray  # (C, 3) f32 world
     plane_normal: jnp.ndarray  # (C, 3) f32
+    plane_pack: jnp.ndarray    # (C, 8) f32 gather-packed match row
+                               # [nx, ny, nz, cx, cy, cz, radius, is_plane]:
+                               # the per-point match gate reads one row
+                               # instead of 4 separate gathers
     plane_var: jnp.ndarray     # (C, 6, 6) f32
     plane_radius: jnp.ndarray  # (C,) f32 (= lambda_max)
     is_plane: jnp.ndarray      # (C,) bool
@@ -106,6 +115,13 @@ class VoxelMap(NamedTuple):
                                # int64 key decodes are u32-pair emulated and
                                # cost ~4 ms per 40k-point gather+decode
     vox_coords: jnp.ndarray    # (C, 3) i32 decoded key coords
+    meta_pack: jnp.ndarray     # (C, 8) i32 gather-packed hot row
+                               # [level, cx, cy, cz, state, 0, 0, 0]: the
+                               # verify/slot_meta chains read one contiguous
+                               # 32-byte row per point instead of 5 element
+                               # gathers (~2x cheaper, micro_gather.py);
+                               # kept in sync at every vox_level/vox_coords/
+                               # state write site
     n_dropped: jnp.ndarray     # () i32 diagnostic: inserts dropped (table full)
 
 
@@ -127,6 +143,7 @@ def make_map(ms: MapStatic) -> VoxelMap:
     f32 = jnp.float32
     return VoxelMap(
         keys=jnp.full((C,), vh.EMPTY_KEY, jnp.int64),
+        fkeys=jnp.zeros(C, jnp.int32),
         state=jnp.zeros(C, jnp.int32),
         sealed=jnp.zeros(C, bool),
         fix_P=jnp.zeros((C, 3, 3), f32),
@@ -135,6 +152,7 @@ def make_map(ms: MapStatic) -> VoxelMap:
         cov_add=jnp.zeros((C, 9, 9), f32),
         plane_center=jnp.zeros((C, 3), f32),
         plane_normal=jnp.zeros((C, 3), f32),
+        plane_pack=jnp.zeros((C, 8), f32),
         plane_var=jnp.zeros((C, 6, 6), f32),
         plane_radius=jnp.zeros(C, f32),
         is_plane=jnp.zeros(C, bool),
@@ -144,8 +162,18 @@ def make_map(ms: MapStatic) -> VoxelMap:
         jour=jnp.zeros(C, f32),
         vox_level=jnp.full(C, -1, jnp.int32),
         vox_coords=jnp.zeros((C, 3), jnp.int32),
+        meta_pack=_meta_rows(jnp.full(C, -1, jnp.int32),
+                             jnp.zeros((C, 3), jnp.int32),
+                             jnp.zeros(C, jnp.int32)),
         n_dropped=jnp.zeros((), jnp.int32),
     )
+
+
+def _meta_rows(level, coords, state):
+    """Assemble packed meta rows [level, cx, cy, cz, state, 0, 0, 0]."""
+    z = jnp.zeros_like(level)
+    return jnp.stack([level, coords[..., 0], coords[..., 1], coords[..., 2],
+                      state, z, z, z], axis=-1)
 
 
 def make_pool(ms: MapStatic) -> FixPool:
@@ -164,10 +192,12 @@ def make_pool(ms: MapStatic) -> FixPool:
 
 def slot_meta(m: VoxelMap, slots, params: MapParams):
     """(level, voxel center, edge) of table slots; safe for slot==-1.
-    Reads the stored decoded (vox_level, vox_coords) — not the int64 key."""
+    ONE packed-row gather (meta_pack) instead of 4 element gathers of
+    vox_level + vox_coords."""
     s = jnp.maximum(slots, 0)
-    lv = jnp.maximum(m.vox_level[s], 0)  # free rows are -1; callers mask
-    coords = m.vox_coords[s]
+    r = m.meta_pack[s]                   # (..., 8)
+    lv = jnp.maximum(r[..., 0], 0)       # free rows are -1; callers mask
+    coords = r[..., 1:4]
     edge = params.voxel_size / (2.0 ** lv.astype(jnp.float32))
     center = (coords.astype(jnp.float32) + 0.5) * edge[..., None]
     return lv, center, edge
@@ -185,7 +215,7 @@ def _walk(m: VoxelMap, root_coords, wld, params: MapParams, ms: MapStatic):
     Returns (slot, level, coords): slot==-1 if the root or a required child
     is missing."""
     key0 = vh.encode(0, root_coords)
-    slot = vh.find_slots(m.keys, key0, ms.probe)
+    slot = vh.find_slots_fp(m.fkeys, key0, ms.probe)
     coords = root_coords
     level = jnp.zeros(wld.shape[:-1], jnp.int32)
     for l in range(1, ms.levels):
@@ -196,7 +226,7 @@ def _walk(m: VoxelMap, root_coords, wld, params: MapParams, ms: MapStatic):
         oct_up = (wld > center).astype(jnp.int32)
         child_coords = 2 * coords + oct_up
         ckey = vh.encode(l, child_coords)
-        cslot = vh.find_slots(m.keys, ckey, ms.probe)
+        cslot = vh.find_slots_fp(m.fkeys, ckey, ms.probe)
         slot = jnp.where(split, cslot, slot)
         coords = jnp.where(split[..., None], child_coords, coords)
         level = jnp.where(split, l, level)
@@ -229,7 +259,7 @@ def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
     need_any = jnp.any(need_mask)
 
     def do(op):
-        tk, jr, nd, vl, vc = op
+        tk, fk, jr, nd, vl, vc, mp = op
         nz = vh.compact_indices(need_mask, ms.max_new, -1)
         sub_valid = nz >= 0
         sub_keys = keys[jnp.maximum(nz, 0)]
@@ -240,20 +270,24 @@ def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
         ).astype(jnp.int32)
         nd = (nd + n_over
               + jnp.sum(sub_valid & ~placed).astype(jnp.int32)).astype(jnp.int32)
-        # journey-stamp + decoded-meta for the fresh claims (other fields
-        # are already zero — evict's rebuild clears freed rows)
+        # journey-stamp + fingerprint + decoded-meta for the fresh claims
+        # (other fields are already zero — evict's rebuild clears freed rows)
         tgt = jnp.where(placed, slots, tk.shape[0])
+        fk = fk.at[tgt].set(vh.fingerprint32(sub_keys), mode="drop")
         jr = jr.at[tgt].set(jour, mode="drop")
         lv_new, crd_new = vh.decode(sub_keys)
         vl = vl.at[tgt].set(lv_new, mode="drop")
         vc = vc.at[tgt].set(crd_new, mode="drop")
-        return new_tk, jr, nd, vl, vc
+        mp = mp.at[tgt].set(
+            _meta_rows(lv_new, crd_new, jnp.zeros_like(lv_new)), mode="drop")
+        return new_tk, fk, jr, nd, vl, vc, mp
 
-    tk, jr, nd, vl, vc = jax.lax.cond(
+    tk, fk, jr, nd, vl, vc, mp = jax.lax.cond(
         need_any, do, lambda op: op,
-        (m.keys, m.jour, m.n_dropped, m.vox_level, m.vox_coords))
-    return m._replace(keys=tk, jour=jr, n_dropped=nd,
-                      vox_level=vl, vox_coords=vc), need_any
+        (m.keys, m.fkeys, m.jour, m.n_dropped, m.vox_level, m.vox_coords,
+         m.meta_pack))
+    return m._replace(keys=tk, fkeys=fk, jour=jr, n_dropped=nd,
+                      vox_level=vl, vox_coords=vc, meta_pack=mp), need_any
 
 
 def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
@@ -265,11 +299,12 @@ def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
     Returns (map, slot[N]). slot==-1 only for invalid points or drops."""
     root = vh.coords_of(wld, params.voxel_size)
     key0 = vh.encode(0, root)
-    slot = vh.find_slots(m.keys, key0, ms.probe)
+    slot = vh.find_slots_fp(m.fkeys, key0, ms.probe)
     if create_roots:
         m, created = _create_level(m, key0, valid & (slot == -1), jour, ms)
         slot = jax.lax.cond(
-            created, lambda: vh.find_slots(m.keys, key0, ms.probe), lambda: slot)
+            created, lambda: vh.find_slots_fp(m.fkeys, key0, ms.probe),
+            lambda: slot)
     coords = root
     for l in range(1, ms.levels):
         edge = params.voxel_size / (2.0 ** (l - 1))
@@ -277,10 +312,11 @@ def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
         center = (coords.astype(jnp.float32) + 0.5) * edge
         child_coords = 2 * coords + (wld > center).astype(jnp.int32)
         ckey = vh.encode(l, child_coords)
-        cslot = vh.find_slots(m.keys, ckey, ms.probe)
+        cslot = vh.find_slots_fp(m.fkeys, ckey, ms.probe)
         m, created = _create_level(m, ckey, split & (cslot == -1), jour, ms)
         cslot = jax.lax.cond(
-            created, lambda: vh.find_slots(m.keys, ckey, ms.probe), lambda: cslot)
+            created, lambda: vh.find_slots_fp(m.fkeys, ckey, ms.probe),
+            lambda: cslot)
         slot = jnp.where(split, cslot, slot)
         coords = jnp.where(split[..., None], child_coords, coords)
     return m, jnp.where(valid, slot, -1)
@@ -309,6 +345,21 @@ def _seg_cluster(slots, rel_pts, valid, C) -> cl.Cluster:
     acc = jax.ops.segment_sum(flat, sid.reshape(-1), num_segments=C + 1)[:C]
     return cl.Cluster(P=acc[:, 0:9].reshape(C, 3, 3), v=acc[:, 9:12],
                       N=acc[:, 12])
+
+
+def _seg_cols(slots, rel_pts, valid, C):
+    """Componentwise _seg_cluster: (10, C) rows = the 6 unique second
+    moments (xx, xy, xz, yy, yz, zz), the 3 first moments, and the count —
+    each a dense lane-packed (C,) vector for flat-column consumers
+    (3 fewer summed columns than the (3,3) form, no matrix relayout)."""
+    sid = jnp.where(valid & (slots >= 0), slots, C)
+    w = (valid & (slots >= 0)).astype(rel_pts.dtype)
+    p = rel_pts * w[..., None]
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    cols = jnp.stack([x * x, x * y, x * z, y * y, y * z, z * z, x, y, z, w],
+                     axis=-1).reshape(-1, 10)
+    return jax.ops.segment_sum(cols, sid.reshape(-1),
+                               num_segments=C + 1)[:C].T
 
 
 def _bf_var(var, rel):
@@ -465,46 +516,62 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     def refit(m, slots):
         lv_pt, centers, _ = slot_meta(m, slots, params)
         rel = flat_w - centers
-        wc = _seg_cluster(slots, rel, flat_v, C)
+        acc = _seg_cols(slots, rel, flat_v, C)  # (10, C)
 
-        # The plane refit runs COMPACTED over the leaves the window actually
-        # touches (nonzero -> gather -> eigh3 -> drop-mode scatter): a scan
-        # window occupies O(10^3) of the 2^18 slots, and the full-capacity
-        # eigh3 + masked wheres over (C,3,3) arrays dominated recut. Active
-        # leaves beyond active_cap keep last scan's fit for one wave (cap is
-        # ~8x the observed worst case).
+        # The plane refit runs DENSE over all C slots in flat-column
+        # (componentwise) form: every per-slot quantity is a lane-packed
+        # (C,) vector and the eigendecomposition is the componentwise
+        # eigh3c, so the whole chain is elementwise VPU work with NO
+        # compaction, NO gathers, and NO scatters (the earlier compacted
+        # gather -> (V,3,3) eigh3 -> scatter form spent its time moving
+        # data and used 3 of 128 lanes in the matrix ops).
+        wN = acc[9]
+        fP = m.fix_P.reshape(C, 9).T
+        fv = m.fix_v.T
+        tN = wN + m.fix_N
+        t00, t01, t02 = acc[0] + fP[0], acc[1] + fP[1], acc[2] + fP[2]
+        t11, t12, t22 = acc[3] + fP[4], acc[4] + fP[5], acc[5] + fP[8]
+        nn = jnp.maximum(tN, 1.0)
+        mx, my, mz = (acc[6] + fv[0]) / nn, (acc[7] + fv[1]) / nn, (acc[8] + fv[2]) / nn
+        c00 = t00 / nn - mx * mx
+        c01 = t01 / nn - mx * my
+        c02 = t02 / nn - mx * mz
+        c11 = t11 / nn - my * my
+        c12 = t12 / nn - my * mz
+        c22 = t22 / nn - mz * mz
+        (w0, w1, w2), V = eigh3c(c00, c01, c02, c11, c12, c22)
+
         leaf = (m.keys != vh.EMPTY_KEY) & (m.state == 0)
-        active = leaf & (wc.N > 0)
-        rows = vh.compact_indices(active, ms.active_cap, C)
-        ok = rows < C
-        rr = jnp.minimum(rows, C - 1)
-        lv_a, _, _ = slot_meta(m, rr, params)
-        dt = wc.P.dtype
-        tot_a = cl.Cluster(
-            P=m.fix_P[rr].astype(dt) + wc.P[rr],
-            v=m.fix_v[rr].astype(dt) + wc.v[rr],
-            N=m.fix_N[rr].astype(dt) + wc.N[rr],
-        )
-        enough_a = ok & (tot_a.N > params.min_point[jnp.clip(lv_a, 0, 3)])
-        eig_a, V_a = eigh3(cl.cov(tot_a))
-        judged_a = _plane_judge(eig_a, lv_a, params)
+        upd = leaf & (wN > 0)
+        lvc = jnp.clip(m.vox_level, 0, 3)
+        enough = upd & (tN > params.min_point[lvc])
+        ratio = w0 / jnp.maximum(w2, 1e-20)
+        judged = (w0 < params.min_eigen_value) & (ratio < params.plane_thre[lvc])
 
         # reference recut: too-few points -> is_plane=false, eig untouched
-        tgt_all = jnp.where(ok, rows, C)
-        tgt_upd = jnp.where(enough_a, rows, C)
-        want_split_a = enough_a & ~judged_a & (lv_a < ms.levels - 1)
-        tgt_split = jnp.where(want_split_a, rows, C)
+        want_split = enough & ~judged & (m.vox_level < ms.levels - 1)
+        eigs = jnp.stack([w0, w1, w2], axis=-1)
+        Vflat = jnp.stack([V[0][0], V[1][0], V[2][0],
+                           V[0][1], V[1][1], V[2][1],
+                           V[0][2], V[1][2], V[2][2]], axis=-1)  # (C, 9)
+        en3 = enough[:, None]
+        new_is_plane = jnp.where(upd, enough & judged, m.is_plane)
         m = m._replace(
-            is_plane=m.is_plane.at[tgt_all].set(enough_a & judged_a, mode="drop"),
-            eig_val=m.eig_val.at[tgt_upd].set(eig_a.astype(jnp.float32), mode="drop"),
-            eig_vec=m.eig_vec.at[tgt_upd].set(V_a.astype(jnp.float32), mode="drop"),
-            state=m.state.at[tgt_split].set(1, mode="drop"),
+            is_plane=new_is_plane,
+            plane_pack=m.plane_pack.at[:, 7].set(
+                new_is_plane.astype(jnp.float32)),
+            eig_val=jnp.where(en3, eigs, m.eig_val),
+            eig_vec=jnp.where(en3[..., None],
+                              Vflat.reshape(C, 3, 3), m.eig_vec),
+            state=jnp.where(want_split, 1, m.state),
+            meta_pack=m.meta_pack.at[:, 4].set(
+                jnp.where(want_split, 1, m.state)),
         )
         # another wave is needed if anything split OR some valid points are
         # still slotless but placeable (child creation is throttled to
         # max_new candidates per pass; stragglers get their children next
         # wave; slot==-2 probe-window-full points are dropped, not retried)
-        unfinished = jnp.any(want_split_a) | jnp.any(flat_v & (slots == -1))
+        unfinished = jnp.any(want_split) | jnp.any(flat_v & (slots == -1))
         return m, lv_pt, unfinished
 
     def assign_cached(m, prev):
@@ -519,16 +586,18 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         insert (new_mask: OctoTree::push) or (b) its previous slot just
         split (subdivide's re-push, octree.cpp:283-300)."""
         sc = jnp.maximum(prev, 0)
-        lv_c = m.vox_level[sc]
+        r = m.meta_pack[sc]              # one packed row gather
+        lv_c = r[:, 0]
+        st_c = r[:, 4]
+        coords_c = r[:, 1:4]
         key_ok = lv_c >= 0  # free rows carry level -1
-        was_split = flat_v & (prev >= 0) & key_ok & (m.state[sc] == 1)
-        coords_c = m.vox_coords[sc]
+        was_split = flat_v & (prev >= 0) & key_ok & (st_c == 1)
         edge_c = params.voxel_size / (2.0 ** jnp.maximum(lv_c, 0).astype(jnp.float32))
         my_coords = vh.coords_of(flat_w, edge_c[:, None])
         ok_cached = (
             flat_v & (prev >= 0)
             & key_ok
-            & (m.state[sc] == 0)
+            & (st_c == 0)
             & jnp.all(my_coords == coords_c, axis=-1)
         )
         need = flat_v & ~ok_cached
@@ -631,10 +700,11 @@ def refresh_slots(m: VoxelMap, wld, slot, level, coords, params: MapParams,
 def match_with_slots(m: VoxelMap, wld, var_w, slot, params: MapParams):
     """The gate half of match_points for precomputed leaf slots."""
     s = jnp.maximum(slot, 0)
-    found = (slot >= 0) & m.is_plane[s]
-    n = m.plane_normal[s]
-    c = m.plane_center[s]
-    radius = m.plane_radius[s]
+    pk = m.plane_pack[s]                 # one packed row gather
+    found = (slot >= 0) & (pk[..., 7] > 0)
+    n = pk[..., 0:3]
+    c = pk[..., 3:6]
+    radius = pk[..., 6]
     pvar = m.plane_var[s]
 
     d = wld - c
@@ -667,10 +737,11 @@ def match_neighbors(m: VoxelMap, wld, params: MapParams, ms: MapStatic,
     slot, level, _ = _walk(m, roots.reshape(-1, 3), wq.reshape(-1, 3), params, ms)
     slot = slot.reshape(S, 27)
     s = jnp.maximum(slot, 0)
-    found = (slot >= 0) & m.is_plane[s]
-    n = m.plane_normal[s]
-    c = m.plane_center[s]
-    radius = m.plane_radius[s]
+    pk = m.plane_pack[s]                 # one packed row gather
+    found = (slot >= 0) & (pk[..., 7] > 0)
+    n = pk[..., 0:3]
+    c = pk[..., 3:6]
+    radius = pk[..., 6]
     pvar = m.plane_var[s]
 
     d = wld[:, None, :] - c
@@ -780,11 +851,16 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     pc, pn, pv, pr = _plane_update(tot_a, m.cov_add[rr], eig_w, eig_V, centers_a)
     tgt_upd = jnp.where(upd_a, rows, C)
     tgt_act = jnp.where(ok, rows, C)
+    pack_rows = jnp.concatenate(
+        [pn.astype(jnp.float32), pc.astype(jnp.float32),
+         pr.astype(jnp.float32)[:, None],
+         m.is_plane[rr].astype(jnp.float32)[:, None]], axis=-1)
     m = m._replace(
         plane_center=m.plane_center.at[tgt_upd].set(
             pc.astype(jnp.float32), mode="drop"),
         plane_normal=m.plane_normal.at[tgt_upd].set(
             pn.astype(jnp.float32), mode="drop"),
+        plane_pack=m.plane_pack.at[tgt_upd].set(pack_rows, mode="drop"),
         plane_var=m.plane_var.at[tgt_upd].set(pv.astype(jnp.float32), mode="drop"),
         plane_radius=m.plane_radius.at[tgt_upd].set(
             pr.astype(jnp.float32), mode="drop"),
@@ -874,17 +950,23 @@ def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic
 
     vox_level = jnp.full_like(m.vox_level, -1).at[dst].set(
         jnp.where(placed, m.vox_level, -1), mode="drop")
+    fkeys = jnp.zeros_like(m.fkeys).at[dst].set(
+        jnp.where(placed, vh.fingerprint32(old_keys), 0), mode="drop")
+    state2 = move(m.state)
+    vox_coords2 = move(m.vox_coords)
     m2 = VoxelMap(
-        keys=new_keys,
-        state=move(m.state), sealed=move(m.sealed),
+        keys=new_keys, fkeys=fkeys,
+        state=state2, sealed=move(m.sealed),
         fix_P=move(m.fix_P), fix_v=move(m.fix_v), fix_N=move(m.fix_N),
         cov_add=move(m.cov_add),
         plane_center=move(m.plane_center), plane_normal=move(m.plane_normal),
+        plane_pack=move(m.plane_pack),
         plane_var=move(m.plane_var), plane_radius=move(m.plane_radius),
         is_plane=move(m.is_plane),
         eig_val=move(m.eig_val), eig_vec=move(m.eig_vec),
         last_num=move(m.last_num), jour=move(m.jour),
-        vox_level=vox_level, vox_coords=move(m.vox_coords),
+        vox_level=vox_level, vox_coords=vox_coords2,
+        meta_pack=_meta_rows(vox_level, vox_coords2, state2),
         n_dropped=m.n_dropped,
     )
     # pool entries of evicted voxels die with them; refresh cached slots

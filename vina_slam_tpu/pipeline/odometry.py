@@ -67,8 +67,18 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
     outs = []
     parent_split = jnp.ones(N, bool)  # level-0: all points participate
 
+    def _pow2_ceil(v):
+        p = 1
+        while p < v:
+            p *= 2
+        return p
+
     for l in range(levels):
-        cap = caps[min(l, len(caps) - 1)]
+        # a level can never hold more occupied voxels than there are scan
+        # points, so cap the (insert table + eigh3 + plane-gate) row count
+        # at the padded scan size — the configured caps were sized for
+        # 8k-16k-point scans and dominate this stage at smaller buckets
+        cap = min(caps[min(l, len(caps) - 1)], _pow2_ceil(N))
         edge = voxel_size / (2.0 ** l)
         coords = vh.coords_of(pts, edge)
         vmask = valid & parent_split
@@ -138,7 +148,7 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
     )
     # compact to a small fixed cap: the VNC 27-neighbor walk costs per
     # PADDED slot, and real scans yield only O(100) planes
-    nz = jnp.nonzero(allp.valid, size=max_out, fill_value=-1)[0]
+    nz = vh.compact_indices(allp.valid, max_out, -1)
     ok = nz >= 0
     safe = jnp.maximum(nz, 0)
     return ScanPlanes(

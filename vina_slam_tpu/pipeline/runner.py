@@ -435,7 +435,7 @@ class SlamRunner:
         out.update(
             pose_R=np.asarray(self.x_curr.R), pose_p=np.asarray(self.x_curr.p),
             t=float(self.x_curr.t), degenerate=not bool(res.ok),
-            match_num=int(res.match_num))
+            match_num=int(res.match_num), nnt_min=float(res.nnt_min))
         return out
 
     def _stacked_poses(self):

@@ -146,7 +146,13 @@ def parse_pointcloud2(data: bytes):
 
 
 def parse_livox_custom(data: bytes):
-    """livox_ros_driver2/msg/CustomMsg -> (stamp, fields dict)."""
+    """livox_ros_driver2/msg/CustomMsg -> (stamp, fields dict).
+
+    Vectorized: CustomPoint is a fixed 19-byte record (u32 offset_time,
+    3x f32, u8 reflectivity/tag/line) padded to a 20-byte stride by the
+    next point's u32 alignment, so the whole sequence decodes as strided
+    NumPy views (the per-point Python loop cost ~10^5 interpreter
+    iterations per scan — PARITY.md round-2 known gap)."""
     c = Cdr(data)
     stamp, _ = c.header()
     c.u64()          # timebase
@@ -155,19 +161,47 @@ def parse_livox_custom(data: bytes):
     c.u8(); c.u8(); c.u8()  # rsvd[3]
     n = c.u32()      # points sequence length
     n = min(n, point_num) or n
+    c.align(4)       # first point's u32
+    start = c.pos
+    avail = len(c.buf) - start
+    need = 20 * n
+    raw = np.frombuffer(c.buf, np.uint8, count=min(need, avail), offset=start)
+    if raw.size < need:  # the final record may omit its trailing pad byte
+        raw = np.concatenate([raw, np.zeros(need - raw.size, np.uint8)])
+    rec = raw.reshape(n, 20)
+    offs = rec[:, 0:4].copy().view("<u4")[:, 0].astype(np.float64)
+    xs = rec[:, 4:8].copy().view("<f4")[:, 0]
+    ys = rec[:, 8:12].copy().view("<f4")[:, 0]
+    zs = rec[:, 12:16].copy().view("<f4")[:, 0]
+    refl = rec[:, 16].astype(np.float32)
+    return stamp, {"x": xs, "y": ys, "z": zs, "reflectivity": refl,
+                   "offset_time": offs}
+
+
+def parse_livox_custom_slow(data: bytes):
+    """Per-point reference parser (kept as the equivalence oracle for
+    parse_livox_custom's strided decode)."""
+    c = Cdr(data)
+    stamp, _ = c.header()
+    c.u64()
+    point_num = c.u32()
+    c.u8()
+    c.u8(); c.u8(); c.u8()
+    n = c.u32()
+    n = min(n, point_num) or n
     offs = np.empty(n, np.float64)
     xs = np.empty(n, np.float32)
     ys = np.empty(n, np.float32)
     zs = np.empty(n, np.float32)
     refl = np.empty(n, np.float32)
     for i in range(n):
-        offs[i] = c.u32()        # offset_time (ns)
+        offs[i] = c.u32()
         xs[i] = c.f32()
         ys[i] = c.f32()
         zs[i] = c.f32()
         refl[i] = c.u8()
-        c.u8()                   # tag
-        c.u8()                   # line
+        c.u8()
+        c.u8()
     return stamp, {"x": xs, "y": ys, "z": zs, "reflectivity": refl,
                    "offset_time": offs}
 
@@ -194,12 +228,19 @@ def replay_rosbag(db_path: str, cfg: SlamConfig) -> Iterator[Frame]:
             stamp, gyr, acc = parse_imu(data)
             asm.push_imu(stamp, gyr, acc)
         else:
+            scan = None
             if g.lidar_type == LIVOX and "CustomMsg" in lid_type:
-                stamp, fields = parse_livox_custom(data)
+                # native one-pass CDR fast path (csrc vs_decode_livox_cdr)
+                from vina_slam_tpu.sensor import native
+                scan = native.decode_livox_cdr(data, g.point_filter_num,
+                                               g.blind)
+                if scan is None:
+                    stamp, fields = parse_livox_custom(data)
             else:
                 stamp, fields = parse_pointcloud2(data)
-            scan = decoders.decode(g.lidar_type, fields, stamp,
-                                   g.point_filter_num, g.blind)
+            if scan is None:
+                scan = decoders.decode(g.lidar_type, fields, stamp,
+                                       g.point_filter_num, g.blind)
             asm.push_scan(decoders.scan_postprocess(scan))
         f = asm.try_assemble()
         if f is not None:

@@ -46,6 +46,11 @@ def _load():
     lib.vs_postprocess.argtypes = [i64, f32p, f32p, f32p]
     lib.vs_pc2_extract.restype = None
     lib.vs_pc2_extract.argtypes = [u8p, i64, i64, i64, ctypes.c_int, f64p]
+    if hasattr(lib, "vs_decode_livox_cdr"):
+        lib.vs_decode_livox_cdr.restype = i64
+        lib.vs_decode_livox_cdr.argtypes = [u8p, i64, ctypes.c_int,
+                                            ctypes.c_float, f32p, f32p, f32p,
+                                            f64p]
     _LIB = lib
     return lib
 
@@ -115,6 +120,31 @@ def decode_stamped(x, y, z, inten, ts, mode, scale, base, blind_dims,
                               int(blind_dims), int(filter_num),
                               float(blind_sq), _fp(oxyz), _fp(oi), _fp(ot))
     return oxyz[:m], oi[:m], ot[:m]
+
+
+def decode_livox_cdr(msg: bytes, filter_num: int, blind: float):
+    """One-pass CustomMsg CDR body -> DecodedScan (parse + filter + blind +
+    ns->s in a single native sweep; fuses rosbag.parse_livox_custom with
+    decoders.decode_livox). Returns None when the library is not built or
+    lacks the symbol."""
+    from vina_slam_tpu.sensor.decoders import DecodedScan
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "vs_decode_livox_cdr"):
+        return None
+    buf = np.frombuffer(msg, np.uint8)
+    cap = max(len(msg) // 20 + 1, 1)
+    oxyz = np.empty((cap, 3), np.float32)
+    oi = np.empty(cap, np.float32)
+    ot = np.empty(cap, np.float32)
+    stamp = np.zeros(1, np.float64)
+    m = lib.vs_decode_livox_cdr(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(msg),
+        int(filter_num), float(blind * blind), _fp(oxyz), _fp(oi), _fp(ot),
+        _dp(stamp))
+    if m < 0:
+        return None
+    return DecodedScan(oxyz[:m], oi[:m], ot[:m], float(stamp[0]))
 
 
 def decode(lidar_type: int, fields: dict, stamp: float, filter_num: int,

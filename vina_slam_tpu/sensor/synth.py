@@ -71,34 +71,57 @@ def corridor_world(length: float = 120.0, width: float = 4.0,
     point-to-plane matches (the regime VNC + the degeneracy gate exist for,
     src/pipeline/odometry.cpp:244-254, docs/VNCLio_formulation.md:130-194).
 
-    The lobby is an x0-anchored open-ended room section giving full
-    observability for motion_init (its back wall at x=x0 faces +x)."""
+    The lobby is a closed room section x in [x0, x_door] with a doorway wall
+    at its far end (wall segments either side of the corridor mouth, normals
+    facing -x): motion_init runs inside it with full observability; the
+    degenerate regime begins once the sensor passes through the door and the
+    lobby geometry falls behind / out of range."""
     ex, ey, ez = np.eye(3)
-    cx = x0 + length / 2.0
     hy, hz = width / 2.0, height / 2.0
     cz = hz
+    lw = 10.0                      # lobby width
+    x_door = x0 + 12.0             # doorway plane (lobby length 12 m)
+    cx = (x_door + x0 + length) / 2.0
+    chl = (length - 12.0) / 2.0    # corridor half-length
     out = [
-        # side walls (normals +-y), floor, ceiling (normals +-z)
+        # corridor side walls (normals +-y), floor, ceiling (normals +-z)
         PlanePatch(q=np.array([cx, +hy, cz]), n=-ey, u=ex, v=ez,
-                   hu=length / 2, hv=hz),
+                   hu=chl, hv=hz),
         PlanePatch(q=np.array([cx, -hy, cz]), n=+ey, u=ex, v=ez,
-                   hu=length / 2, hv=hz),
+                   hu=chl, hv=hz),
         PlanePatch(q=np.array([cx, 0.0, 0.0]), n=+ez, u=ex, v=ey,
-                   hu=length / 2, hv=hy),
+                   hu=chl, hv=hy),
         PlanePatch(q=np.array([cx, 0.0, height]), n=-ez, u=ex, v=ey,
-                   hu=length / 2, hv=hy),
+                   hu=chl, hv=hy),
     ]
     if lobby:
-        # back wall (the only x-facing surface) + a couple of slabs near the
-        # start so initialization sees a diverse normal spread
-        out.append(PlanePatch(q=np.array([x0, 0.0, cz]), n=ex, u=ey, v=ez,
-                              hu=hy, hv=hz))
-        out.append(PlanePatch(q=np.array([x0 + 3.0, hy - 0.8, 1.0]),
-                              n=(ex + ey) / np.sqrt(2),
-                              u=(ex - ey) / np.sqrt(2), v=ez, hu=0.8, hv=0.8))
-        out.append(PlanePatch(q=np.array([x0 + 5.0, -hy + 0.9, 0.9]),
-                              n=(ex - ey) / np.sqrt(2),
-                              u=(ex + ey) / np.sqrt(2), v=ez, hu=0.8, hv=0.8))
+        lx = (x0 + x_door) / 2.0
+        lhl = 6.0
+        out += [
+            # lobby box: back wall (+x normal), side walls, floor, ceiling
+            PlanePatch(q=np.array([x0, 0.0, cz]), n=ex, u=ey, v=ez,
+                       hu=lw / 2, hv=hz),
+            PlanePatch(q=np.array([lx, +lw / 2, cz]), n=-ey, u=ex, v=ez,
+                       hu=lhl, hv=hz),
+            PlanePatch(q=np.array([lx, -lw / 2, cz]), n=+ey, u=ex, v=ez,
+                       hu=lhl, hv=hz),
+            PlanePatch(q=np.array([lx, 0.0, 0.0]), n=+ez, u=ex, v=ey,
+                       hu=lhl, hv=lw / 2),
+            PlanePatch(q=np.array([lx, 0.0, height]), n=-ez, u=ex, v=ey,
+                       hu=lhl, hv=lw / 2),
+            # doorway wall: segments either side of the corridor mouth
+            PlanePatch(q=np.array([x_door, (lw / 2 + hy) / 2, cz]), n=-ex,
+                       u=ey, v=ez, hu=(lw / 2 - hy) / 2, hv=hz),
+            PlanePatch(q=np.array([x_door, -(lw / 2 + hy) / 2, cz]), n=-ex,
+                       u=ey, v=ez, hu=(lw / 2 - hy) / 2, hv=hz),
+            # interior slabs for extra normal diversity during init
+            PlanePatch(q=np.array([x0 + 3.0, lw / 2 - 1.2, 1.0]),
+                       n=(ex + ey) / np.sqrt(2),
+                       u=(ex - ey) / np.sqrt(2), v=ez, hu=0.8, hv=0.8),
+            PlanePatch(q=np.array([x0 + 5.0, -lw / 2 + 1.3, 0.9]),
+                       n=(ex - ey) / np.sqrt(2),
+                       u=(ex + ey) / np.sqrt(2), v=ez, hu=0.8, hv=0.8),
+        ]
     return out
 
 
@@ -154,37 +177,46 @@ class Trajectory:
 class LinearTrajectory(Trajectory):
     """Constant-speed run down the +x axis with gentle yaw/pitch wiggle —
     the corridor-traversal motion profile (reach cruise speed after `ramp`
-    seconds of constant acceleration)."""
+    seconds of constant acceleration).
+
+    Times are ABSOLUTE simulator times (simulate_events starts scans at
+    `start_time`, default 10 s): motion begins at t0 + dwell, so the first
+    `dwell` seconds of scans are static inside the lobby for
+    initialization. t0 must match simulate_events' start_time."""
 
     def __init__(self, speed: float = 8.0, ramp: float = 1.5,
                  yaw_amp: float = 0.10, wiggle: float = 0.04,
-                 origin=(0.0, 0.0, 1.2)):
+                 origin=(0.0, 0.0, 1.2), t0: float = 10.0,
+                 dwell: float = 1.5):
         self.speed = speed
         self.ramp = ramp
         self.yaw_amp = yaw_amp
         self.wiggle = wiggle
         self.origin = np.asarray(origin, np.float64)
+        self.t0 = t0
+        self.dwell = dwell
 
     def pos(self, t):
-        t = float(t)
-        if t <= 0.0:
+        te = float(t) - self.t0 - self.dwell
+        if te <= 0.0:
             x = 0.0
-        elif t <= self.ramp:
-            x = 0.5 * self.speed * t * t / self.ramp
+        elif te <= self.ramp:
+            x = 0.5 * self.speed * te * te / self.ramp
         else:
-            x = self.speed * (t - 0.5 * self.ramp)
-        s = self._s(t)
+            x = self.speed * (te - 0.5 * self.ramp)
+        s = self._s(te)
         return self.origin + np.array([
             x,
-            s * 0.25 * np.sin(2 * np.pi * 0.21 * t),
-            s * 0.08 * np.sin(2 * np.pi * 0.37 * t),
+            s * 0.25 * np.sin(2 * np.pi * 0.21 * te),
+            s * 0.08 * np.sin(2 * np.pi * 0.37 * te),
         ])
 
     def rot(self, t):
-        s = self._s(t)
-        yaw = s * self.yaw_amp * np.sin(2 * np.pi * 0.3 * t)
-        roll = s * self.wiggle * np.sin(2 * np.pi * 0.5 * t)
-        pitch = s * self.wiggle * np.sin(2 * np.pi * 0.33 * t + 1.0)
+        te = float(t) - self.t0 - self.dwell
+        s = self._s(te)
+        yaw = s * self.yaw_amp * np.sin(2 * np.pi * 0.3 * te)
+        roll = s * self.wiggle * np.sin(2 * np.pi * 0.5 * te)
+        pitch = s * self.wiggle * np.sin(2 * np.pi * 0.33 * te + 1.0)
         return _rotz(yaw) @ _roty(pitch) @ _rotx(roll)
 
 
