@@ -85,26 +85,9 @@ def _eigvec(A, wa, wb, degenerate, default):
     return jnp.where(good, v / n, jnp.broadcast_to(default, v.shape))
 
 
-def eigh3c(a00, a01, a02, a11, a12, a22):
-    """Componentwise eigh3 over flat (N,) columns.
-
-    The (N, 3, 3) form keeps the matrix dims minor-most, so every VPU op
-    uses 3 (or 9) of the 8x128 tile's 1024 lanes; the flat-column form is
-    fully lane-dense and runs ~an order of magnitude faster at the same N.
-    Same math as eigh3 (Cardano + Cayley-Hamilton eigenvectors).
-
-    Returns (w0, w1, w2) ascending eigenvalues and the eigenvector MATRIX
-    columns as ((v0x, v0y, v0z), (v1x, ...), (v2x, ...)) with v0 the
-    lambda_min eigenvector (matching eigh3's V[..., :, 0])."""
-    dt = a00.dtype
-    scale = jnp.maximum(
-        jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a11)),
-                    jnp.maximum(jnp.abs(a22), jnp.abs(a01))),
-        jnp.maximum(jnp.maximum(jnp.abs(a02), jnp.abs(a12)), _TINY))
-    inv = 1.0 / scale
-    a00, a01, a02 = a00 * inv, a01 * inv, a02 * inv
-    a11, a12, a22 = a11 * inv, a12 * inv, a22 * inv
-
+def _cardano6(a00, a01, a02, a11, a12, a22):
+    """Cardano eigenvalues of a PRE-SCALED symmetric 3x3 in flat columns.
+    Returns (w0, w1, w2, degenerate) ascending, unscaled."""
     q = (a00 + a11 + a22) / 3.0
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
     p2 = (b00 * b00 + b11 * b11 + b22 * b22
@@ -118,15 +101,49 @@ def eigh3c(a00, a01, a02, a11, a12, a22):
             + c02 * (c01 * c12 - c11 * c02))
     r = jnp.clip(0.5 * detC, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
-    two_pi_3 = jnp.asarray(2.0 * jnp.pi / 3.0, dt)
+    two_pi_3 = jnp.asarray(2.0 * jnp.pi / 3.0, a00.dtype)
     w2 = q + 2.0 * p * jnp.cos(phi)
     w0 = q + 2.0 * p * jnp.cos(phi + two_pi_3)
     w1 = 3.0 * q - w0 - w2
-
     degenerate = p2 < 1e-14
     w0 = jnp.where(degenerate, q, w0)
     w1 = jnp.where(degenerate, q, w1)
     w2 = jnp.where(degenerate, q, w2)
+    return w0, w1, w2, degenerate
+
+
+def _scale6(a00, a01, a02, a11, a12, a22):
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a11)),
+                    jnp.maximum(jnp.abs(a22), jnp.abs(a01))),
+        jnp.maximum(jnp.maximum(jnp.abs(a02), jnp.abs(a12)), _TINY))
+    inv = 1.0 / scale
+    return (scale, a00 * inv, a01 * inv, a02 * inv, a11 * inv, a12 * inv,
+            a22 * inv)
+
+
+def eigvals3c(a00, a01, a02, a11, a12, a22):
+    """Ascending eigenvalues (w0, w1, w2) of symmetric 3x3 in flat columns —
+    the Cardano half of eigh3c for residual-only paths that never need
+    eigenvectors (evaluate_only_residual, factors.cpp:128-158)."""
+    scale, a00, a01, a02, a11, a12, a22 = _scale6(a00, a01, a02, a11, a12, a22)
+    w0, w1, w2, _ = _cardano6(a00, a01, a02, a11, a12, a22)
+    return w0 * scale, w1 * scale, w2 * scale
+
+
+def eigh3c(a00, a01, a02, a11, a12, a22):
+    """Componentwise eigh3 over flat (N,) columns.
+
+    The (N, 3, 3) form keeps the matrix dims minor-most, so every VPU op
+    uses 3 (or 9) of the 8x128 tile's 1024 lanes; the flat-column form is
+    fully lane-dense and runs ~an order of magnitude faster at the same N.
+    Same math as eigh3 (Cardano + Cayley-Hamilton eigenvectors).
+
+    Returns (w0, w1, w2) ascending eigenvalues and the eigenvector MATRIX
+    columns as ((v0x, v0y, v0z), (v1x, ...), (v2x, ...)) with v0 the
+    lambda_min eigenvector (matching eigh3's V[..., :, 0])."""
+    scale, a00, a01, a02, a11, a12, a22 = _scale6(a00, a01, a02, a11, a12, a22)
+    w0, w1, w2, degenerate = _cardano6(a00, a01, a02, a11, a12, a22)
 
     def eigvec(wa, wb, dx, dy, dz):
         # columns of (A - wa I)(A - wb I) span the remaining eigenvector

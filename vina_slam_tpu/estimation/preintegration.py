@@ -225,6 +225,100 @@ def evaluate(f: PreintFactor, st1: NavState, st2: NavState, with_gravity: bool =
     return cost, joca, jocb, jocg, rr, cov_inv
 
 
+def _residuals_all(f: PreintFactor, R, p, v, bg, ba, g):
+    """Batched bias-corrected residuals of all W-1 window edges (factor
+    pytree batched on axis 0; R/p/v/bg/ba are the (W, ...) window states,
+    g the shared gravity). Returns (rr (E, 15), res_R (E, 3, 3), exp_t,
+    exp_v, R1T). Broadcast-sum forms throughout — under vmap each tiny 3x3
+    product lowers to a batched dot_general, which is the documented
+    100-500x TPU pathology (core/mat3.py)."""
+    R1, R2 = R[:-1], R[1:]
+    p1, p2 = p[:-1], p[1:]
+    v1, v2 = v[:-1], v[1:]
+    dt = f.dtime[:, None]
+    R_corr = bmm(f.R_delta, so3.exp(bmv(f.R_bg, f.dbg)))
+    t_corr = f.p_delta + bmv(f.p_bg, f.dbg) + bmv(f.p_ba, f.dba)
+    v_corr = f.v_delta + bmv(f.v_bg, f.dbg) + bmv(f.v_ba, f.dba)
+    R1T = jnp.swapaxes(R1, -1, -2)
+    res_R = bmm(jnp.swapaxes(R_corr, -1, -2), bmm(R1T, R2))
+    exp_v = bmv(R1T, v2 - v1 - dt * g)
+    exp_t = bmv(R1T, p2 - p1 - v1 * dt - 0.5 * dt * dt * g)
+    rr = jnp.concatenate([
+        so3.log(res_R), exp_t - t_corr, exp_v - v_corr,
+        bg[1:] - bg[:-1], ba[1:] - ba[:-1]], axis=-1)
+    return rr, res_R, exp_t, exp_v, R1T
+
+
+def cost_all(f: PreintFactor, R, p, v, bg, ba, g):
+    """Batched residual-only evaluation: sum_e rr^T cov_inv rr (the LM trial
+    step, evaluate_only_residual cadence, optimizers.cpp:484-505)."""
+    rr, _, _, _, _ = _residuals_all(f, R, p, v, bg, ba, g)
+    civ_r = jnp.sum(f.cov_inv * rr[:, None, :], axis=-1)
+    return jnp.sum(rr * civ_r)
+
+
+def evaluate_all(f: PreintFactor, R, p, v, bg, ba, g, with_gravity: bool):
+    """Batched give_evaluate[_g] (cpp:97-237) over all W-1 window edges.
+    Returns (cost (E,), joca (E, 15, 15), jocb, jocg or None, rr, cov_inv);
+    semantics identical to vmap(evaluate) but with broadcast-sum products."""
+    E = f.dtime.shape[0]
+    rr, res_R, exp_t, exp_v, R1T = _residuals_all(f, R, p, v, bg, ba, g)
+    civ_r = jnp.sum(f.cov_inv * rr[:, None, :], axis=-1)
+    cost = jnp.sum(rr * civ_r, axis=-1)
+
+    R1, R2 = R[:-1], R[1:]
+    JR_inv = so3.jr_inv(res_R)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), (E, 3, 3))
+    dt = f.dtime[:, None, None]
+    phi = bmv(f.R_bg, f.dbg)
+    joca = jnp.zeros((E, DIM, DIM), R.dtype)
+    jocb = jnp.zeros((E, DIM, DIM), R.dtype)
+    joca = joca.at[:, 0:3, 0:3].set(
+        -bmm(JR_inv, bmm(jnp.swapaxes(R2, -1, -2), R1)))
+    jocb = jocb.at[:, 0:3, 0:3].set(JR_inv)
+    joca = joca.at[:, 0:3, 9:12].set(
+        -bmm(JR_inv, bmm(jnp.swapaxes(res_R, -1, -2),
+                         bmm(so3.jr(phi), f.R_bg))))
+    joca = joca.at[:, 3:6, 0:3].set(so3.hat(exp_t))
+    joca = joca.at[:, 3:6, 3:6].set(-R1T)
+    joca = joca.at[:, 3:6, 6:9].set(-R1T * dt)
+    joca = joca.at[:, 3:6, 9:12].set(-f.p_bg)
+    joca = joca.at[:, 3:6, 12:15].set(-f.p_ba)
+    jocb = jocb.at[:, 3:6, 3:6].set(R1T)
+    joca = joca.at[:, 6:9, 0:3].set(so3.hat(exp_v))
+    joca = joca.at[:, 6:9, 6:9].set(-R1T)
+    joca = joca.at[:, 6:9, 9:12].set(-f.v_bg)
+    joca = joca.at[:, 6:9, 12:15].set(-f.v_ba)
+    jocb = jocb.at[:, 6:9, 6:9].set(R1T)
+    joca = joca.at[:, 9:12, 9:12].set(-eye)
+    joca = joca.at[:, 12:15, 12:15].set(-eye)
+    jocb = jocb.at[:, 9:12, 9:12].set(eye)
+    jocb = jocb.at[:, 12:15, 12:15].set(eye)
+    if with_gravity:
+        jocg = jnp.zeros((E, DIM, 3), R.dtype)
+        jocg = jocg.at[:, 3:6, 0:3].set(R1T * (-0.5 * f.dtime**2)[:, None, None])
+        jocg = jocg.at[:, 6:9, 0:3].set(R1T * (-f.dtime)[:, None, None])
+    else:
+        jocg = None
+    return cost, joca, jocb, jocg, rr, f.cov_inv
+
+
+def evaluate_cost(f: PreintFactor, st1: NavState, st2: NavState):
+    """Residual-only give_evaluate (cpp:97-237): cost = rr^T cov_inv rr
+    without building any Jacobian — the LM trial evaluation needs only this
+    (evaluate_only_residual cadence, optimizers.cpp:484-505)."""
+    R_correct = f.R_delta @ so3.exp(f.R_bg @ f.dbg)
+    t_correct = f.p_delta + f.p_bg @ f.dbg + f.p_ba @ f.dba
+    v_correct = f.v_delta + f.v_bg @ f.dbg + f.v_ba @ f.dba
+    res_R = R_correct.T @ st1.R.T @ st2.R
+    res_v = st1.R.T @ (st2.v - st1.v - f.dtime * st1.g) - v_correct
+    res_t = st1.R.T @ (st2.p - st1.p - st1.v * f.dtime
+                       - 0.5 * f.dtime**2 * st1.g) - t_correct
+    rr = jnp.concatenate([so3.log(res_R), res_t, res_v,
+                          st2.bg - st1.bg, st2.ba - st1.ba])
+    return rr @ f.cov_inv @ rr
+
+
 def update_bias_state(f: PreintFactor, dxi_first15: jnp.ndarray) -> PreintFactor:
     """update_state (cpp:239-246): stash rollback buffers, apply first-order
     bias increments of the FIRST state of the factor edge."""

@@ -56,23 +56,15 @@ def _imu_assemble(pre_f: pre.PreintFactor, w: WindowPoses, W: int,
     L = W * DIM + (3 if with_gravity else 0)
     H = jnp.zeros((L, L), jnp.float64)
     g = jnp.zeros((L,), jnp.float64)
-    res = jnp.zeros((), jnp.float64)
 
-    def mk_state(i):
-        return NavState(t=jnp.zeros(()), R=w.R[i], p=w.p[i], v=w.v[i],
-                        bg=w.bg[i], ba=w.ba[i], g=w.g,
-                        cov=jnp.zeros((DIM, DIM)))
-
-    def edge(i, f_i):
-        return pre.evaluate(f_i, mk_state(i), mk_state(i + 1),
-                            with_gravity=with_gravity)
-
-    # vmap over edges (factor pytree is batched on axis 0)
-    idx = jnp.arange(W - 1)
-    cost, joca, jocb, jocg, rr, cov_inv = jax.vmap(edge)(idx, pre_f)
-    res = jnp.sum(cost)
     if not jac:
+        # residual-only trial evaluation: no Jacobians at all
+        res = pre.cost_all(pre_f, w.R, w.p, w.v, w.bg, w.ba, w.g)
         return res, H, g
+
+    cost, joca, jocb, jocg, rr, cov_inv = pre.evaluate_all(
+        pre_f, w.R, w.p, w.v, w.bg, w.ba, w.g, with_gravity)
+    res = jnp.sum(cost)
 
     if with_gravity:
         joc = jnp.concatenate([joca, jocb, jocg], axis=-1)   # (W-1, 15, 33)
@@ -232,9 +224,15 @@ def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
 
         w_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), w_, w_try)
-        pre_next = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, b, a), pre_f_,
-            pre_try if use_imu else pre_f_)
+        # only the bias-correction fields mutate under update_bias_state —
+        # a whole-pytree where would copy the (W-1, 15, 15) f64 covariances
+        # and deltas every iteration
+        pre_next = pre_f_._replace(
+            dbg=jnp.where(accept, pre_try.dbg, pre_f_.dbg),
+            dba=jnp.where(accept, pre_try.dba, pre_f_.dba),
+            dbg_buf=jnp.where(accept, pre_try.dbg_buf, pre_f_.dbg_buf),
+            dba_buf=jnp.where(accept, pre_try.dba_buf, pre_f_.dba_buf),
+        ) if use_imu else pre_f_
 
         # recompute Hessian only after accepted steps (is_calc_hess)
         def recompute(_):

@@ -43,7 +43,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from vina_slam_tpu.core.eigh3 import eigh3
+from vina_slam_tpu.core.eigh3 import eigh3, eigh3c, eigvals3c
 from vina_slam_tpu.core.mat3 import bmm, bmv, bvm, sandwich
 from vina_slam_tpu.mapping import voxel_hash as vh
 from vina_slam_tpu.mapping.voxel_map import MapParams, MapStatic, VoxelMap, slot_meta
@@ -214,120 +214,356 @@ def _auk(f: BAFactors, Rs, t, uk, vbar, NN):
     Auk = jnp.concatenate([A_rot, A_tsl], axis=-1) / NN[:, None, None, None]
     return Auk, x, RiTuk, RiTukhat, combo1
 
+# ------------------------------------------------- flat-column fast path
+#
+# The (V, W, 3, 3) forms above keep the tiny matrix dims minor-most, so on
+# TPU every VPU op uses 3 (or 9) of a tile's 128 lanes — at V=1024, W=10 the
+# whole acc_evaluate2 chain ran at ~2% lane efficiency (micro_ba.py: 1.03 ms
+# for ~20 MFLOP). The componentwise forms below put the voxel dim minor-most
+# ((W, V) columns, V lane-dense) and reduce the dense Hessian assembly to
+# plain MXU matmuls via the rank-2 decomposition
+#   Abig^T umumT Abig = sum_{k=1,2} cgap_k (u_k^T Auk)^T (u_k^T Auk)
+# so only the 6W-wide b_e = u_e^T Auk projections are ever materialized.
+# _aggregate/_eig_state/_auk above remain the reference forms (used by the
+# f64 init path and as test oracles for these).
+
+def _sym6_cols(M):
+    """(V, W, 3, 3) symmetric -> 6 (W, V) columns (00, 01, 02, 11, 12, 22)."""
+    return (M[..., 0, 0].T, M[..., 0, 1].T, M[..., 0, 2].T,
+            M[..., 1, 1].T, M[..., 1, 2].T, M[..., 2, 2].T)
+
+
+def _R_cols(Rs):
+    """(W, 3, 3) -> 9 broadcastable (W, 1) columns; index 3a+b = R[a, b]."""
+    return tuple(Rs[:, a, b][:, None] for a in range(3) for b in range(3))
+
+
+def _mxhat(M, w):
+    """Columns of M @ hat(w): M as 9 row-major columns, w as 3 columns."""
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = M
+    wx, wy, wz = w
+    return (m01 * wz - m02 * wy, m02 * wx - m00 * wz, m00 * wy - m01 * wx,
+            m11 * wz - m12 * wy, m12 * wx - m10 * wz, m10 * wy - m11 * wx,
+            m21 * wz - m22 * wy, m22 * wx - m20 * wz, m20 * wy - m21 * wx)
+
+
+def _stack60(cols6):
+    """6 columns of (W, V) -> (6W, V) with row index w*6 + j (frame-major,
+    matching the Abig layout of the reference assembly)."""
+    return jnp.stack(cols6, axis=1).reshape(-1, cols6[0].shape[-1])
+
+
+def _agg_cols(f: BAFactors, Rs, ps):
+    """Componentwise _aggregate: per-voxel aggregate second moments (6 (V,)
+    columns), first moments, counts, plus the per-(frame, voxel) columns the
+    derivative terms reuse."""
+    p00, p01, p02, p11, p12, p22 = _sym6_cols(f.Pb)
+    mx, my, mz = f.vb[..., 0].T, f.vb[..., 1].T, f.vb[..., 2].T
+    Nb = f.Nb.T                                            # (W, V)
+    R = _R_cols(Rs)
+    tx = ps[:, 0][:, None] - f.centers[:, 0][None, :]
+    ty = ps[:, 1][:, None] - f.centers[:, 1][None, :]
+    tz = ps[:, 2][:, None] - f.centers[:, 2][None, :]
+    ux = R[0] * mx + R[1] * my + R[2] * mz + tx
+    uy = R[3] * mx + R[4] * my + R[5] * mz + ty
+    uz = R[6] * mx + R[7] * my + R[8] * mz + tz
+    # T = Pc @ R^T (9 cols), then S = R @ T (6 unique cols of R Pc R^T)
+    T00 = p00 * R[0] + p01 * R[1] + p02 * R[2]
+    T01 = p00 * R[3] + p01 * R[4] + p02 * R[5]
+    T02 = p00 * R[6] + p01 * R[7] + p02 * R[8]
+    T10 = p01 * R[0] + p11 * R[1] + p12 * R[2]
+    T11 = p01 * R[3] + p11 * R[4] + p12 * R[5]
+    T12 = p01 * R[6] + p11 * R[7] + p12 * R[8]
+    T20 = p02 * R[0] + p12 * R[1] + p22 * R[2]
+    T21 = p02 * R[3] + p12 * R[4] + p22 * R[5]
+    T22 = p02 * R[6] + p12 * R[7] + p22 * R[8]
+    S00 = R[0] * T00 + R[1] * T10 + R[2] * T20
+    S01 = R[0] * T01 + R[1] * T11 + R[2] * T21
+    S02 = R[0] * T02 + R[1] * T12 + R[2] * T22
+    S11 = R[3] * T01 + R[4] * T11 + R[5] * T21
+    S12 = R[3] * T02 + R[4] * T12 + R[5] * T22
+    S22 = R[6] * T02 + R[7] * T12 + R[8] * T22
+    A00 = f.fix_P[:, 0, 0] + jnp.sum(S00 + Nb * ux * ux, axis=0)
+    A01 = f.fix_P[:, 0, 1] + jnp.sum(S01 + Nb * ux * uy, axis=0)
+    A02 = f.fix_P[:, 0, 2] + jnp.sum(S02 + Nb * ux * uz, axis=0)
+    A11 = f.fix_P[:, 1, 1] + jnp.sum(S11 + Nb * uy * uy, axis=0)
+    A12 = f.fix_P[:, 1, 2] + jnp.sum(S12 + Nb * uy * uz, axis=0)
+    A22 = f.fix_P[:, 2, 2] + jnp.sum(S22 + Nb * uz * uz, axis=0)
+    vx = f.fix_v[:, 0] + jnp.sum(Nb * ux, axis=0)
+    vy = f.fix_v[:, 1] + jnp.sum(Nb * uy, axis=0)
+    vz = f.fix_v[:, 2] + jnp.sum(Nb * uz, axis=0)
+    N = f.fix_N + jnp.sum(Nb, axis=0)
+    return dict(P6=(p00, p01, p02, p11, p12, p22), m=(mx, my, mz), Nb=Nb,
+                R=R, t=(tx, ty, tz), A6=(A00, A01, A02, A11, A12, A22),
+                v3=(vx, vy, vz), N=N)
+
+
+def _eig_cols(A6, v3, N):
+    """Componentwise _eig_state: (lam, U, vbar, NN) as columns."""
+    NN = jnp.maximum(N, 1.0)
+    inv = 1.0 / NN
+    vbx, vby, vbz = v3[0] * inv, v3[1] * inv, v3[2] * inv
+    c00 = A6[0] * inv - vbx * vbx
+    c01 = A6[1] * inv - vbx * vby
+    c02 = A6[2] * inv - vbx * vbz
+    c11 = A6[3] * inv - vby * vby
+    c12 = A6[4] * inv - vby * vbz
+    c22 = A6[5] * inv - vbz * vbz
+    lam, U = eigh3c(c00, c01, c02, c11, c12, c22)
+    return lam, U, (vbx, vby, vbz), NN
+
+
+def _proj_cols(Arot, Atsl, ue, s):
+    """b = s * (u_e^T [Arot | Atsl]): project the Auk columns onto an
+    eigenvector; s folds the 1/NN scale and the activity mask."""
+    ux, uy, uz = ue
+    return (
+        (ux * Arot[0] + uy * Arot[3] + uz * Arot[6]) * s,
+        (ux * Arot[1] + uy * Arot[4] + uz * Arot[7]) * s,
+        (ux * Arot[2] + uy * Arot[5] + uz * Arot[8]) * s,
+        (ux * Atsl[0] + uy * Atsl[3] + uz * Atsl[6]) * s,
+        (ux * Atsl[1] + uy * Atsl[4] + uz * Atsl[7]) * s,
+        (ux * Atsl[2] + uy * Atsl[5] + uz * Atsl[8]) * s,
+    )
+
+
+def _auk_cols(cols, uk, vbar, NN):
+    """Columns of Auk(u_k) = [A_rot | A_tsl] (WITHOUT the 1/NN scale) plus
+    the per-frame pieces the diagonal extras reuse. uk is the lambda_min
+    eigenvector; Auk per factors.cpp:79-83 (the _auk reference form)."""
+    p00, p01, p02, p11, p12, p22 = cols["P6"]
+    mx, my, mz = cols["m"]
+    Nb, R = cols["Nb"], cols["R"]
+    tx, ty, tz = cols["t"]
+    ukx, uky, ukz = uk
+    # r = R^T u
+    rx = R[0] * ukx + R[3] * uky + R[6] * ukz
+    ry = R[1] * ukx + R[4] * uky + R[7] * ukz
+    rz = R[2] * ukx + R[5] * uky + R[8] * ukz
+    vix, viy, viz = Nb * mx, Nb * my, Nb * mz
+    xx = viy * rz - viz * ry
+    xy = viz * rx - vix * rz
+    xz = vix * ry - viy * rx
+    mdr = mx * rx + my * ry + mz * rz
+    P0 = p00 * rx + p01 * ry + p02 * rz + vix * mdr
+    P1 = p01 * rx + p11 * ry + p12 * rz + viy * mdr
+    P2 = p02 * rx + p12 * ry + p22 * rz + viz * mdr
+    tvx, tvy, tvz = tx - vbar[0], ty - vbar[1], tz - vbar[2]
+    ukttv = ukx * tvx + uky * tvy + ukz * tvz
+    c1x, c1y, c1z = P0 + vix * ukttv, P1 + viy * ukttv, P2 + viz * ukttv
+    c2x = R[0] * vix + R[1] * viy + R[2] * viz + Nb * tvx
+    c2y = R[3] * vix + R[4] * viy + R[5] * viz + Nb * tvy
+    c2z = R[6] * vix + R[7] * viy + R[8] * viz + Nb * tvz
+    # RiPi_plus = R Pc + (R m + ti_v) vi^T  (9 cols)
+    q0 = R[0] * mx + R[1] * my + R[2] * mz + tvx
+    q1 = R[3] * mx + R[4] * my + R[5] * mz + tvy
+    q2 = R[6] * mx + R[7] * my + R[8] * mz + tvz
+    RP0 = R[0] * p00 + R[1] * p01 + R[2] * p02
+    RP1 = R[0] * p01 + R[1] * p11 + R[2] * p12
+    RP2 = R[0] * p02 + R[1] * p12 + R[2] * p22
+    RP3 = R[3] * p00 + R[4] * p01 + R[5] * p02
+    RP4 = R[3] * p01 + R[4] * p11 + R[5] * p12
+    RP5 = R[3] * p02 + R[4] * p12 + R[5] * p22
+    RP6 = R[6] * p00 + R[7] * p01 + R[8] * p02
+    RP7 = R[6] * p01 + R[7] * p11 + R[8] * p12
+    RP8 = R[6] * p02 + R[7] * p12 + R[8] * p22
+    G = (RP0 + q0 * vix, RP1 + q0 * viy, RP2 + q0 * viz,
+         RP3 + q1 * vix, RP4 + q1 * viy, RP5 + q1 * viz,
+         RP6 + q2 * vix, RP7 + q2 * viy, RP8 + q2 * viz)
+    Gh = _mxhat(G, (rx, ry, rz))
+    Rh = _mxhat(R, (c1x, c1y, c1z))
+    Arot = tuple(g - r_ for g, r_ in zip(Gh, Rh))          # 9 cols
+    c2u = c2x * ukx + c2y * uky + c2z * ukz
+    Atsl = (c2x * ukx + c2u, c2x * uky, c2x * ukz,
+            c2y * ukx, c2y * uky + c2u, c2y * ukz,
+            c2z * ukx, c2z * uky, c2z * ukz + c2u)
+    return Arot, Atsl, dict(r=(rx, ry, rz), x=(xx, xy, xz),
+                            c1=(c1x, c1y, c1z))
+
+
 @partial(jax.jit, static_argnames=("W",))
 def lidar_acc(f: BAFactors, Rs, ps, W: int):
     """acc_evaluate2 (factors.cpp:22-126): residual, gradient (6W,), and the
     full Gauss-Newton Hessian (6W, 6W) of sum_v coe_v * lambda_min.
-    Internally f32 (central moments, see module docstring); outputs f64."""
+    Internally f32 flat columns (see the fast-path note above); outputs f64.
+    """
     Rs = Rs.astype(jnp.float32)
     ps = ps.astype(jnp.float32)
-    P, v, N, t = _aggregate(f, Rs, ps)
-    lmbd, U, vbar, NN = _eig_state(P, v, N)
-    uk = U[..., :, 0]
-    active = (f.Nb > 0)
+    cols = _agg_cols(f, Rs, ps)
+    lam, U, vbar, NN = _eig_cols(cols["A6"], cols["v3"], cols["N"])
+    w0, w1, w2 = lam
     coe = f.coe
+    act = (cols["Nb"] > 0).astype(jnp.float32)             # (W, V)
 
-    gaps = lmbd[:, 0:1] - lmbd[:, 1:3]
-    cgap = 2.0 / jnp.where(jnp.abs(gaps) < 1e-20, -1e-20, gaps)   # (V, 2)
-    Usub = U[..., :, 1:3]
-    umumT = jnp.sum(cgap[:, None, None, :]
-                    * Usub[..., :, None, :] * Usub[..., None, :, :], axis=-1)
+    Arot, Atsl, pieces = _auk_cols(cols, U[0], vbar, NN)
+    s = act / NN                                           # mask * 1/NN
+    b0 = _proj_cols(Arot, Atsl, U[0], s)
+    b1 = _proj_cols(Arot, Atsl, U[1], s)
+    b2 = _proj_cols(Arot, Atsl, U[2], s)
 
-    Auk, x, RiTuk, RiTukhat, combo1 = _auk(f, Rs, t, uk, vbar, NN)
-    mask = active[..., None, None].astype(jnp.float32)
-    Auk = Auk * mask
-    x = x * active[..., None]
+    # gradient (cpp:85-86): JacT_wj = sum_v coe * b0
+    JacT = jnp.sum(_stack60(b0) * coe[None, :], axis=-1)   # (6W,)
 
-    # gradient: jjt = Auk^T uk per frame (cpp:85-86)
-    jjt = jnp.sum(Auk * uk[:, None, :, None], axis=-2)    # (V, W, 6)
-    JacT = jnp.einsum("v,vwa->wa", coe, jjt).reshape(W * 6)
+    # main Hessian: sum_k cgap_k (b_k)^T (b_k), cgap_k = 2/(l0 - lk)
+    def cgap(lk):
+        g = w0 - lk
+        return 2.0 / jnp.where(jnp.abs(g) < 1e-20, -1e-20, g)
 
-    # main Hessian term over all frame pairs
-    Abig = jnp.swapaxes(Auk, 1, 2).reshape(-1, 3, W * 6)  # (V, 3, 6W)
-    tmp = bmm(umumT, Abig) * coe[:, None, None]
-    H = jnp.einsum("via,vib->ab", Abig, tmp)
+    B1, B2 = _stack60(b1), _stack60(b2)                    # (6W, V)
+    Bcat = jnp.concatenate([B1, B2], axis=-1)              # (6W, 2V)
+    Bscl = jnp.concatenate([B1 * (coe * cgap(w1))[None, :],
+                            B2 * (coe * cgap(w2))[None, :]], axis=-1)
+    H = jax.lax.dot_general(Bscl, Bcat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
-    # rank-1 cross correction  -(2 coe / NN^2) g g^T  (cpp:109-113 incl. the
-    # i==j parts, which reappear inside the diagonal extras below)
-    nuk = f.Nb[..., None] * uk[:, None, :] * active[..., None]
-    g = jnp.concatenate([x, nuk], axis=-1).reshape(-1, W * 6)  # (V, 6W)
+    # rank-1 cross correction -(2 coe / NN^2) g g^T (cpp:109-113)
+    xx, xy, xz = (c * act for c in pieces["x"])
+    ukx, uky, ukz = U[0]
+    Nb = cols["Nb"]
+    Gv = _stack60((xx, xy, xz, Nb * ukx * act, Nb * uky * act,
+                   Nb * ukz * act))                        # (6W, V)
     cg = -2.0 * coe / (NN * NN)
-    H = H + jnp.einsum("v,va,vb->ab", cg, g, g)
+    H = H + jax.lax.dot_general(Gv * cg[None, :], Gv, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
 
-    # block-diagonal extras (cpp:88-94 minus the cross-form i==j parts);
-    # RiTukhat @ Pi reconstructed: RiTukhat Pc - x m^T (since
-    # hat(RiTuk) N m m^T = N (RiTuk x m) m^T = -x m^T)
-    ukukT = uk[:, :, None] * uk[:, None, :]
-    RiTukhatPi = (bmm(RiTukhat, f.Pb)
-                  - x[..., :, None] * f.vb[..., None, :])
-    d_rot = (2.0 / NN[:, None, None, None]) * (
-        bmm(combo1 - RiTukhatPi, RiTukhat)
-    ) - 0.5 * _hat(jjt[..., 0:3])
-    d_rt = (2.0 / NN[:, None, None, None]) * x[..., :, None] * uk[:, None, None, :]
-    d_tt = (2.0 * f.Nb / NN[:, None])[..., None, None] * ukukT[:, None]
-    top = jnp.concatenate([d_rot, d_rt], axis=-1)
-    bot = jnp.concatenate([jnp.swapaxes(d_rt, -1, -2), d_tt], axis=-1)
-    dblk = jnp.concatenate([top, bot], axis=-2) * mask    # (V, W, 6, 6)
-    dblk = jnp.einsum("v,vwab->wab", coe, dblk)
+    # block-diagonal extras (cpp:88-94): all in columns, reduced over V
+    p00, p01, p02, p11, p12, p22 = cols["P6"]
+    mx, my, mz = cols["m"]
+    rx, ry, rz = pieces["r"]
+    c1x, c1y, c1z = pieces["c1"]
+    xx0, xy0, xz0 = pieces["x"]                            # unmasked x
+    # hat(r) Pc - x m^T (9 cols)
+    hp = (-rz * p01 + ry * p02 - xx0 * mx, -rz * p11 + ry * p12 - xx0 * my,
+          -rz * p12 + ry * p22 - xx0 * mz,
+          rz * p00 - rx * p02 - xy0 * mx, rz * p01 - rx * p12 - xy0 * my,
+          rz * p02 - rx * p22 - xy0 * mz,
+          -ry * p00 + rx * p01 - xz0 * mx, -ry * p01 + rx * p11 - xz0 * my,
+          -ry * p02 + rx * p12 - xz0 * mz)
+    # K = combo1 - hat(r) Pi = hat(c1) - hp
+    K = (-hp[0], -c1z - hp[1], c1y - hp[2],
+         c1z - hp[3], -hp[4], -c1x - hp[5],
+         -c1y - hp[6], c1x - hp[7], -hp[8])
+    Kh = _mxhat(K, (rx, ry, rz))
+    inv2 = 2.0 / NN
+    # d_rot = (2/NN) Kh - 0.5 hat(b0_rot)  (b0 already masked)
+    b0x, b0y, b0z = b0[0], b0[1], b0[2]
+    d = [[None] * 6 for _ in range(6)]
+    d[0][0] = inv2 * Kh[0]
+    d[0][1] = inv2 * Kh[1] + 0.5 * b0z
+    d[0][2] = inv2 * Kh[2] - 0.5 * b0y
+    d[1][0] = inv2 * Kh[3] - 0.5 * b0z
+    d[1][1] = inv2 * Kh[4]
+    d[1][2] = inv2 * Kh[5] + 0.5 * b0x
+    d[2][0] = inv2 * Kh[6] + 0.5 * b0y
+    d[2][1] = inv2 * Kh[7] - 0.5 * b0x
+    d[2][2] = inv2 * Kh[8]
+    uk3 = (ukx, uky, ukz)
+    x3 = (xx0, xy0, xz0)
+    for a in range(3):
+        for bb in range(3):
+            d[a][3 + bb] = inv2 * x3[a] * uk3[bb]
+            d[3 + a][bb] = inv2 * x3[bb] * uk3[a]
+            d[3 + a][3 + bb] = inv2 * Nb * uk3[a] * uk3[bb]
+    wcoe = coe[None, :] * act
+    Hd_w = jnp.stack([jnp.stack([jnp.sum(d[a][bb] * wcoe, axis=-1)
+                                 for bb in range(6)], axis=-1)
+                      for a in range(6)], axis=-2)         # (W, 6, 6)
     Hd = jnp.zeros((W, 6, W, 6), jnp.float32).at[
-        jnp.arange(W), :, jnp.arange(W), :].add(dblk)
+        jnp.arange(W), :, jnp.arange(W), :].add(Hd_w)
     H = H + Hd.reshape(W * 6, W * 6)
 
-    residual = jnp.sum((coe * lmbd[:, 0]).astype(jnp.float64))
+    residual = jnp.sum((coe * w0).astype(jnp.float64))
     return residual, JacT.astype(jnp.float64), H.astype(jnp.float64)
 
 
 @jax.jit
 def lidar_residual(f: BAFactors, Rs, ps):
     """evaluate_only_residual (factors.cpp:128-158): sum coe * lambda_min."""
-    P, v, N, _ = _aggregate(f, Rs.astype(jnp.float32), ps.astype(jnp.float32))
-    lmbd, _, _, _ = _eig_state(P, v, N)
-    return jnp.sum((f.coe * lmbd[:, 0]).astype(jnp.float64))
+    cols = _agg_cols(f, Rs.astype(jnp.float32), ps.astype(jnp.float32))
+    A6, v3, N = cols["A6"], cols["v3"], cols["N"]
+    NN = jnp.maximum(N, 1.0)
+    inv = 1.0 / NN
+    vbx, vby, vbz = v3[0] * inv, v3[1] * inv, v3[2] * inv
+    w0, _, _ = eigvals3c(A6[0] * inv - vbx * vbx, A6[1] * inv - vbx * vby,
+                         A6[2] * inv - vbx * vbz, A6[3] * inv - vby * vby,
+                         A6[4] * inv - vby * vbz, A6[5] * inv - vbz * vbz)
+    return jnp.sum((f.coe * w0).astype(jnp.float64))
+
+
+def _Su_cols(n3, u3):
+    """(I - n n^T) u in columns: u - n (n . u)."""
+    nd = n3[0] * u3[0] + n3[1] * u3[1] + n3[2] * u3[2]
+    return (u3[0] - n3[0] * nd, u3[1] - n3[1] * nd, u3[2] - n3[2] * nd)
 
 
 @partial(jax.jit, static_argnames=("W",))
 def normal_acc(f: BAFactors, Rs, ps, W: int):
     """NormalFactor::acc_evaluate2 (factors.cpp:185-304): VNC cost
-    0.5 * coe * |(I - n n^T) u_min|^2 with GN Hessian J^T J."""
+    0.5 * coe * |(I - n n^T) u_min|^2 with GN Hessian J^T J.
+
+    Flat-column fast path: with Tn = sum_{k=1,2} (1/gap_k) u_k u_k^T the
+    Jacobian factorizes as J = S Tn Auk = sum_k (1/gap_k) (S u_k) (u_k^T Auk)
+    = sum_k (1/gap_k) (S u_k) b_k, so J^T J needs only the b_k projections
+    and the 2x2 Gram of the S u_k vectors — two MXU matmuls total."""
     Rs = Rs.astype(jnp.float32)
     ps = ps.astype(jnp.float32)
-    P, v, N, t = _aggregate(f, Rs, ps)
-    lmbd, U, vbar, NN = _eig_state(P, v, N)
-    uk = U[..., :, 0]
-    has = N > 0  # sig.N == 0 guard (factors.cpp:220-221)
+    cols = _agg_cols(f, Rs, ps)
+    lam, U, vbar, NN = _eig_cols(cols["A6"], cols["v3"], cols["N"])
+    w0, w1, w2 = lam
+    has = cols["N"] > 0  # sig.N == 0 guard (factors.cpp:220-221)
     coe = f.coe * has.astype(jnp.float32)
+    act = (cols["Nb"] > 0).astype(jnp.float32)
 
-    S = jnp.eye(3, dtype=jnp.float32) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
-    r = bmv(S, uk)
-    residual = 0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))
+    n3 = (f.n_ref[:, 0], f.n_ref[:, 1], f.n_ref[:, 2])
+    r3 = _Su_cols(n3, U[0])
+    residual = 0.5 * jnp.sum(
+        coe * (r3[0] * r3[0] + r3[1] * r3[1] + r3[2] * r3[2]))
 
     eps = 1e-9
-    gaps = lmbd[:, 0:1] - lmbd[:, 1:3]
-    gaps = jnp.where(jnp.abs(gaps) < eps, jnp.where(gaps >= 0, eps, -eps), gaps)
-    Usub = U[..., :, 1:3]
-    Tn = jnp.sum((1.0 / gaps)[:, None, None, :]
-                 * Usub[..., :, None, :] * Usub[..., None, :, :], axis=-1)
 
-    Auk, _, _, _, _ = _auk(f, Rs, t, uk, vbar, NN)
-    Auk = Auk * (f.Nb > 0)[..., None, None].astype(jnp.float32)
-    STn = bmm(S, Tn)
-    J = bmm(jnp.broadcast_to(STn[:, None], Auk.shape[:2] + (3, 3)), Auk)
+    def igap(lk):
+        g = w0 - lk
+        g = jnp.where(jnp.abs(g) < eps, jnp.where(g >= 0, eps, -eps), g)
+        return 1.0 / g
 
-    Jr = jnp.sum(J * r[:, None, :, None], axis=-2)        # (V, W, 6)
-    JacT = jnp.einsum("v,vwa->wa", coe, Jr).reshape(W * 6)
-    Jbig = jnp.swapaxes(J, 1, 2).reshape(-1, 3, W * 6)
-    H = jnp.einsum("via,vib->ab", Jbig * coe[:, None, None], Jbig)
+    ig1, ig2 = igap(w1), igap(w2)
+    Su1 = _Su_cols(n3, U[1])
+    Su2 = _Su_cols(n3, U[2])
+
+    Arot, Atsl, _ = _auk_cols(cols, U[0], vbar, NN)
+    s = act / NN
+    b1 = _proj_cols(Arot, Atsl, U[1], s)
+    b2 = _proj_cols(Arot, Atsl, U[2], s)
+    B1, B2 = _stack60(b1), _stack60(b2)                   # (6W, V)
+
+    # gradient: Jr = sum_k ig_k (S u_k . r) b_k
+    s1 = ig1 * (Su1[0] * r3[0] + Su1[1] * r3[1] + Su1[2] * r3[2])
+    s2 = ig2 * (Su2[0] * r3[0] + Su2[1] * r3[1] + Su2[2] * r3[2])
+    JacT = jnp.sum((B1 * s1[None, :] + B2 * s2[None, :]) * coe[None, :],
+                   axis=-1)
+
+    # Hessian: sum_kl ig_k ig_l (S u_k . S u_l) b_k^T b_l
+    c11 = ig1 * ig1 * (Su1[0] ** 2 + Su1[1] ** 2 + Su1[2] ** 2)
+    c12 = ig1 * ig2 * (Su1[0] * Su2[0] + Su1[1] * Su2[1] + Su1[2] * Su2[2])
+    c22 = ig2 * ig2 * (Su2[0] ** 2 + Su2[1] ** 2 + Su2[2] ** 2)
+    D1 = B1 * (coe * c11)[None, :] + B2 * (coe * c12)[None, :]
+    D2 = B1 * (coe * c12)[None, :] + B2 * (coe * c22)[None, :]
+    Dcat = jnp.concatenate([D1, D2], axis=-1)             # (6W, 2V)
+    Bcat = jnp.concatenate([B1, B2], axis=-1)
+    H = jax.lax.dot_general(Dcat, Bcat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     return (residual.astype(jnp.float64), JacT.astype(jnp.float64),
             H.astype(jnp.float64))
 
 
 @jax.jit
 def normal_residual(f: BAFactors, Rs, ps):
-    P, v, N, _ = _aggregate(f, Rs.astype(jnp.float32), ps.astype(jnp.float32))
-    lmbd, U, _, _ = _eig_state(P, v, N)
-    uk = U[..., :, 0]
-    has = N > 0
+    cols = _agg_cols(f, Rs.astype(jnp.float32), ps.astype(jnp.float32))
+    lam, U, _, _ = _eig_cols(cols["A6"], cols["v3"], cols["N"])
+    has = cols["N"] > 0
     coe = f.coe * has.astype(jnp.float32)
-    S = jnp.eye(3, dtype=jnp.float32) - f.n_ref[:, :, None] * f.n_ref[:, None, :]
-    r = bmv(S, uk)
-    return (0.5 * jnp.sum(coe * jnp.sum(r * r, axis=-1))).astype(jnp.float64)
+    n3 = (f.n_ref[:, 0], f.n_ref[:, 1], f.n_ref[:, 2])
+    r3 = _Su_cols(n3, U[0])
+    return (0.5 * jnp.sum(
+        coe * (r3[0] * r3[0] + r3[1] * r3[1] + r3[2] * r3[2]))
+    ).astype(jnp.float64)
