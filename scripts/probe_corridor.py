@@ -48,6 +48,6 @@ for i, f in enumerate(frames):
         continue
     gx = gts[min(i, len(gts) - 1)][2][0]
     print(f"{i:3d} x_est={out['pose_p'][0]:7.2f} x_gt={gx:7.2f} "
-          f"match={out.get('match_num', -1):5d} "
+          f"match={out.get('match_num', -1)!s:>5} "
           f"nnt_min={out.get('nnt_min', float('nan')):8.2f} "
           f"degen={out.get('degenerate')}", flush=True)

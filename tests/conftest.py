@@ -15,11 +15,14 @@ jax.config.update("jax_enable_x64", True)
 
 
 def pytest_configure(config):
-    """Build the native host library so the .so fast paths (decode, CDR,
-    postprocess) are exercised by default rather than silently skipped
-    (round-2 review: 'nothing in CI builds it')."""
+    """Register markers and build the native host library so the .so fast
+    paths (decode, CDR, postprocess) are exercised by default rather than
+    silently skipped (round-2 review: 'nothing in CI builds it')."""
     import pathlib
     import subprocess
+
+    config.addinivalue_line(
+        "markers", "slow: long e2e runs (deselect with -m 'not slow')")
 
     csrc = pathlib.Path(__file__).resolve().parent.parent / "csrc"
     try:

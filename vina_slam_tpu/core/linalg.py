@@ -106,10 +106,40 @@ def solve_psd_refined(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.nda
     where f64 factorizations are either unsupported or sequential) plus
     f64 iterative refinement: factor once in f32, then 2 residual-correction
     passes recover ~f64 accuracy for moderately conditioned systems (the
-    damped gauge-fixed LM Hessians here). A breakdown (NaN) propagates to
-    the step and is absorbed by the LM reject/re-damp path."""
+    damped gauge-fixed LM Hessians here).
+
+    Robustness: the lambda-min GN Hessian is INDEFINITE before damping
+    (factors.cpp cgap terms are negative), so at small LM damping the
+    Cholesky can hit a negative pivot and the whole step goes NaN — and
+    because each damping_iter restarts at u=0.01, an init round can deadlock
+    on the same NaN forever (corridor-world CPU repro). Eigen's LDLT in the
+    reference stays finite there. On breakdown we retry with an escalating
+    diagonal boost tau and refine against the BOOSTED (PD) system — a
+    modified-Newton step: finite, possibly conservative, judged by the LM
+    accept/reject like any other step. Zero extra cost in the PD case (the
+    retry while_loop runs 0 iterations)."""
+    n = A.shape[-1]
     A32 = A.astype(jnp.float32)
-    L = jax.scipy.linalg.cholesky(A32, lower=True)
+    eye32 = jnp.eye(n, dtype=jnp.float32)
+    maxd = jnp.max(jnp.abs(jnp.diagonal(A32, axis1=-2, axis2=-1)))
+
+    def chol(t):
+        return jax.scipy.linalg.cholesky(A32 + t * eye32, lower=True)
+
+    def retry_cond(c):
+        t, L, k = c
+        return ~jnp.all(jnp.isfinite(L)) & (k < 8)
+
+    def retry_body(c):
+        t, L, k = c
+        t2 = jnp.where(t == 0.0, maxd * jnp.float32(1e-4) + jnp.float32(1e-20),
+                       t * jnp.float32(16.0))
+        return t2, chol(t2), k + 1
+
+    tau, L, _ = jax.lax.while_loop(
+        retry_cond, retry_body,
+        (jnp.float32(0.0), chol(jnp.float32(0.0)), jnp.int32(0)))
+    Aref = A + tau.astype(A.dtype) * jnp.eye(n, dtype=A.dtype)
 
     def f32_solve(rhs):
         return jax.scipy.linalg.cho_solve((L, True), rhs.astype(jnp.float32)
@@ -117,6 +147,6 @@ def solve_psd_refined(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.nda
 
     x = f32_solve(b)
     for _ in range(iters):
-        r = b - A @ x
+        r = b - Aref @ x
         x = x + f32_solve(r)
     return x

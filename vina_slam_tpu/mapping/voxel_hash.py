@@ -234,12 +234,20 @@ def insert_keys32(table_keys: jnp.ndarray, new_keys: jnp.ndarray,
 
 def compact_indices(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
     """Ascending indices of True entries, padded with `fill` to `size`
-    (jnp.nonzero(mask, size, fill)[0] equivalent). Lowered as ONE int32
-    lax.sort of (mask ? index : n): 2.6x faster on TPU than the previous
-    triangular-matmul prefix-sum + scatter form (1.5 ms vs 3.9 ms at
-    n=40960), and unlike a cumsum it is safe inside while-loop bodies
-    (the TPU cumsum lowering there requests ~64 MB of scoped vmem and
-    fails to compile). Overflowing trues (position >= size) are dropped."""
+    (jnp.nonzero(mask, size, fill)[0] equivalent). Overflowing trues
+    (position >= size) are dropped.
+
+    On TPU this is the Pallas stream-compaction kernel
+    (ops/pallas_compact.py, ~0.1 ms at 40k rows); elsewhere ONE int32
+    lax.sort of (mask ? index : n) — 2.6x faster on TPU than the earlier
+    triangular-matmul prefix-sum + scatter form but still ~1.2-1.5 ms at
+    40k, which made this primitive the hottest op family of the fused step
+    (it backs recut re-descents, BA extraction, margi refresh, and the
+    IEKF re-walk). The sort is also while-loop-safe where a cumsum is not
+    (the TPU cumsum lowering requests ~64 MB scoped vmem there)."""
+    if jax.default_backend() == "tpu":
+        from vina_slam_tpu.ops.pallas_compact import compact_indices_tpu
+        return compact_indices_tpu(mask, size, fill)
     n = mask.shape[0]
     key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
     if size > n:

@@ -828,45 +828,100 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
 
     lv_pt, centers_pt, _ = slot_meta(m, slots, params)
     rel = flat_w - centers_pt
-    wc_all = _seg_cluster(slots, rel, flat_v, C)
+    acc = _seg_cols(slots, rel, flat_v, C)   # (10, C) window columns
 
     leaf = (m.keys != vh.EMPTY_KEY) & (m.state == 0)
-    active = leaf & (wc_all.N > 0)
+    wN = acc[9]
+    active = leaf & (wN > 0)
 
-    # plane_update cadence (octree.cpp:441-446), COMPACTED to the leaves the
-    # window touches (same rationale as recut: the full-capacity
-    # _plane_update + eigh3 dominated margi)
-    rows = vh.compact_indices(active, ms.active_cap, C)
-    ok = rows < C
-    rr = jnp.minimum(rows, C - 1)
-    _, centers_a, _ = slot_meta(m, rr, params)
-    tot_a = cl.Cluster(P=fix.P[rr] + wc_all.P[rr], v=fix.v[rr] + wc_all.v[rr],
-                       N=fix.N[rr] + wc_all.N[rr])
-    eig_w, eig_V = eigh3(cl.cov(tot_a))
-    last_a = m.last_num[rr]
-    upd_a = (
-        ok & m.is_plane[rr] & (fix.N[rr] < params.max_points)
-        & ((tot_a.N - last_a >= 5) | (last_a <= 10))
-    )
-    pc, pn, pv, pr = _plane_update(tot_a, m.cov_add[rr], eig_w, eig_V, centers_a)
-    tgt_upd = jnp.where(upd_a, rows, C)
-    tgt_act = jnp.where(ok, rows, C)
+    # plane_update cadence (octree.cpp:441-446), DENSE over all C slots in
+    # flat columns (same redesign as the recut refit): every per-slot
+    # quantity is a lane-packed (C,) vector, the eigensolve is the
+    # componentwise eigh3c, and updates are full-column where-selects — no
+    # compaction sort, no gathers, no scatters (the earlier compacted
+    # matrix-form chain ran the 3x3/9x9 algebra at <10% lane use and spent
+    # the rest moving rows)
+    fP = m.fix_P.reshape(C, 9).T
+    fv = m.fix_v.T
+    tN = wN + m.fix_N
+    t6 = (acc[0] + fP[0], acc[1] + fP[1], acc[2] + fP[2],
+          acc[3] + fP[4], acc[4] + fP[5], acc[5] + fP[8])
+    nn = jnp.maximum(tN, 1.0)
+    nv = 1.0 / nn
+    mx, my, mz = (acc[6] + fv[0]) * nv, (acc[7] + fv[1]) * nv, (acc[8] + fv[2]) * nv
+    c6 = (t6[0] * nv - mx * mx, t6[1] * nv - mx * my, t6[2] * nv - mx * mz,
+          t6[3] * nv - my * my, t6[4] * nv - my * mz, t6[5] * nv - mz * mz)
+    (l0, l1, l2), U = eigh3c(*c6)
+    u0, u1, u2 = U
+
+    last = m.last_num
+    upd = (active & m.is_plane & (m.fix_N < params.max_points)
+           & ((tN - last >= 5) | (last <= 10)))
+
+    # eigenvector perturbation u_c (octree.cpp:302-333) in columns:
+    # u_c = sum_{k=1,2} (nv/(l0-lk)) u_k (x) fkl_k with fkl the 9-vector
+    # of d(cov)/d(moments) contractions
+    mean3 = (mx, my, mz)
+    uc = [[jnp.zeros_like(tN) for _ in range(9)] for _ in range(3)]
+    for uk, lk in ((u1, l1), (u2, l2)):
+        den = l0 - lk
+        den = jnp.where(jnp.abs(den) < 1e-12, -1e-12, den)
+        ck = nv / den
+        kdotm = uk[0] * mx + uk[1] * my + uk[2] * mz
+        zdotm = u0[0] * mx + u0[1] * my + u0[2] * mz
+        fkl = (uk[0] * u0[0],
+               uk[1] * u0[0] + uk[0] * u0[1],
+               uk[2] * u0[0] + uk[0] * u0[2],
+               uk[1] * u0[1],
+               uk[1] * u0[2] + uk[2] * u0[1],
+               uk[2] * u0[2],
+               -(kdotm * u0[0] + zdotm * uk[0]),
+               -(kdotm * u0[1] + zdotm * uk[1]),
+               -(kdotm * u0[2] + zdotm * uk[2]))
+        for a in range(3):
+            cka = ck * uk[a]
+            for j in range(9):
+                uc[a][j] = uc[a][j] + cka * fkl[j]
+
+    cov = m.cov_add  # (C, 9, 9) symmetric
+    Jc = [[sum(uc[a][jp] * cov[:, jp, j] for jp in range(9))
+           for j in range(9)] for a in range(3)]
+    pv6 = [[None] * 6 for _ in range(6)]
+    for a in range(3):
+        for b in range(3):
+            if b >= a:
+                pv6[a][b] = sum(Jc[a][j] * uc[b][j] for j in range(9))
+            jcn = nv * Jc[a][6 + b]
+            pv6[a][3 + b] = jcn
+            pv6[3 + b][a] = jcn
+            if b >= a:
+                pv6[3 + a][3 + b] = nv * nv * cov[:, 6 + a, 6 + b]
+    for a in range(6):
+        for b in range(a):
+            pv6[a][b] = pv6[b][a] if pv6[a][b] is None else pv6[a][b]
+    pv = jnp.stack([jnp.stack(pv6[a], axis=-1) for a in range(6)], axis=-2)
+
+    # dense slot centers straight from the decoded meta columns (a
+    # slot_meta(arange(C)) would be a C-row self-gather)
+    lvA = jnp.maximum(m.vox_level, 0).astype(jnp.float32)
+    edgeA = params.voxel_size / (2.0 ** lvA)
+    pcx = mx + (m.vox_coords[:, 0].astype(jnp.float32) + 0.5) * edgeA
+    pcy = my + (m.vox_coords[:, 1].astype(jnp.float32) + 0.5) * edgeA
+    pcz = mz + (m.vox_coords[:, 2].astype(jnp.float32) + 0.5) * edgeA
+    pc = jnp.stack([pcx, pcy, pcz], axis=-1)
+    pn = jnp.stack([u0[0], u0[1], u0[2]], axis=-1)
     pack_rows = jnp.concatenate(
-        [pn.astype(jnp.float32), pc.astype(jnp.float32),
-         pr.astype(jnp.float32)[:, None],
-         m.is_plane[rr].astype(jnp.float32)[:, None]], axis=-1)
+        [pn, pc, l2[:, None], m.is_plane.astype(jnp.float32)[:, None]],
+        axis=-1)
+    u3 = upd[:, None]
     m = m._replace(
-        plane_center=m.plane_center.at[tgt_upd].set(
-            pc.astype(jnp.float32), mode="drop"),
-        plane_normal=m.plane_normal.at[tgt_upd].set(
-            pn.astype(jnp.float32), mode="drop"),
-        plane_pack=m.plane_pack.at[tgt_upd].set(pack_rows, mode="drop"),
-        plane_var=m.plane_var.at[tgt_upd].set(pv.astype(jnp.float32), mode="drop"),
-        plane_radius=m.plane_radius.at[tgt_upd].set(
-            pr.astype(jnp.float32), mode="drop"),
-        last_num=m.last_num.at[tgt_upd].set(
-            tot_a.N.astype(jnp.float32), mode="drop"),
-        jour=m.jour.at[tgt_act].set(jour, mode="drop"),
+        plane_center=jnp.where(u3, pc, m.plane_center),
+        plane_normal=jnp.where(u3, pn, m.plane_normal),
+        plane_pack=jnp.where(u3, pack_rows, m.plane_pack),
+        plane_var=jnp.where(u3[..., None], pv, m.plane_var),
+        plane_radius=jnp.where(upd, l2, m.plane_radius),
+        last_num=jnp.where(upd, tN, m.last_num),
+        jour=jnp.where(active, jour, m.jour),
     )
 
     # ---- absorb marginalized frames into the pool / fixed stats ----

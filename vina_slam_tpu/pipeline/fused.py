@@ -295,9 +295,12 @@ def steady_step(
     # PRE-shift window states; jnp.roll is circular so un-rolling recovers them
     xs_pre = NavState(*(jnp.roll(f, 1, axis=0) for f in xs))
     tail_idx = (st.traj_head - jnp.arange(W - 1, -1, -1)) % TRAJ_CAP
+    # the rewrite refreshes POSES only — the degeneracy-verdict column (13)
+    # must survive, or every flag gets zeroed W times before it can be
+    # drained (the rewrite window always includes the row just written)
     tail_rows = jnp.concatenate([
         xs_pre.t[:, None], xs_pre.p, xs_pre.R.reshape(W, 9),
-        jnp.zeros((W, 1)),
+        traj[tail_idx][:, 13:14],
     ], axis=1)
     traj = traj.at[tail_idx].set(jnp.where(full, tail_rows, traj[tail_idx]))
     traj_head = st.traj_head + 1

@@ -757,7 +757,14 @@ class SlamRunner:
         """After init success the reference falls through to the
         win_count >= win_size branch in the same loop pass
         (local_mapping.cpp:373-376 -> 489)."""
-        return self._map_update_and_ba(cond_imu)
+        out = self._map_update_and_ba(cond_imu)
+        # same output contract as _steady_step so consumers need not
+        # special-case the first post-init frame
+        out.update(
+            pose_R=np.asarray(self.x_curr.R), pose_p=np.asarray(self.x_curr.p),
+            t=float(self.x_curr.t), degenerate=False, match_num=-1,
+            nnt_min=float("nan"))
+        return out
 
     # --------------------------------------------------------------- output
     def sync(self):

@@ -179,14 +179,17 @@ class LinearTrajectory(Trajectory):
     the corridor-traversal motion profile (reach cruise speed after `ramp`
     seconds of constant acceleration).
 
-    Times are ABSOLUTE simulator times (simulate_events starts scans at
-    `start_time`, default 10 s): motion begins at t0 + dwell, so the first
-    `dwell` seconds of scans are static inside the lobby for
-    initialization. t0 must match simulate_events' start_time."""
+    Times are TRAJECTORY times: simulate_events calls pose()/imu_sample()
+    with tau = t - start_time, so tau 0 is the first scan. Motion begins at
+    tau = t0 + dwell (default 1.5 s), so the first `dwell` seconds of scans
+    are static inside the lobby for initialization. (A round-3 bug had
+    t0=10.0 "absolute" here while simulate_events passes relative times —
+    every corridor sequence sat motionless in the lobby and the degeneracy
+    machinery was never actually exercised.)"""
 
     def __init__(self, speed: float = 8.0, ramp: float = 1.5,
                  yaw_amp: float = 0.10, wiggle: float = 0.04,
-                 origin=(0.0, 0.0, 1.2), t0: float = 10.0,
+                 origin=(0.0, 0.0, 1.2), t0: float = 0.0,
                  dwell: float = 1.5):
         self.speed = speed
         self.ramp = ramp
