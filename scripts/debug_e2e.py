@@ -10,10 +10,13 @@ from vina_slam_tpu.sensor import synth
 from vina_slam_tpu.pipeline.runner import SlamRunner
 from tests.test_pipeline_e2e import small_cfg
 
+NAZ = int(os.environ.get("NAZ", "180"))
+NEL = int(os.environ.get("NEL", "12"))
+DUR = float(os.environ.get("DUR", "4.0"))
 frames, gts = synth.simulate_sequence(
-    duration=4.0, n_az=180, n_el=12, noise=0.005,
+    duration=DUR, n_az=NAZ, n_el=NEL, noise=0.005,
     imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
-print(f"{len(frames)} frames")
+print(f"{len(frames)} frames  naz={NAZ} nel={NEL}")
 
 runner = SlamRunner(small_cfg(), npad_map=8192, verbose=True)
 print("fused:", runner.use_fused)

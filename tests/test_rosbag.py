@@ -166,6 +166,68 @@ class TestBagWriterRoundtrip:
         np.testing.assert_allclose(f0.scan.rel_time, rel, atol=1e-7)
         assert f0.imu.t.shape[0] >= 5
 
+    def test_ouster_bag_roundtrip(self, tmp_path):
+        """Ouster (lidar_type 2): per-point `t` uint32 ns field
+        (lidar_pointcloud_decoder.cpp:144-166) through writer -> sqlite bag
+        -> CDR parse -> decoder -> FrameAssembler."""
+        from vina_slam_tpu.platform import rosbag_write as rw
+
+        cfg = SlamConfig()
+        cfg.general.lidar_type = 2  # ouster
+        cfg.general.lid_topic = "/os_cloud_node/points"
+        cfg.general.imu_topic = "/os_cloud_node/imu"
+        cfg.general.point_filter_num = 1
+        cfg.general.blind = 0.0
+
+        n = 256
+        t0 = 200.0
+        pts = rng.uniform(1.0, 6.0, (n, 3)).astype(np.float32)
+        rel = np.sort(rng.uniform(0.0, 0.09, n)).astype(np.float32)
+        scans = [(t0 + 0.1 * k, pts, rel) for k in range(3)]
+        imu_t = np.arange(t0 - 0.5, t0 + 0.5, 0.005)
+        gyr = [np.zeros(3)] * len(imu_t)
+        acc = [np.array([0.0, 0.0, 1.0])] * len(imu_t)
+        path = str(tmp_path / "os.db3")
+        rw.write_sequence_bag(path, cfg, scans, imu_t, gyr, acc)
+
+        frames = list(rosbag.replay_rosbag(path, cfg))
+        assert len(frames) >= 2
+        np.testing.assert_array_equal(frames[0].scan.pts, pts)
+        # t quantizes to whole ns on write
+        np.testing.assert_allclose(frames[0].scan.rel_time, rel, atol=1e-6)
+
+    def test_tartanair_bag_roundtrip(self, tmp_path):
+        """TartanAir (lidar_type 5): xyz-only cloud, no per-point time
+        (lidar_pointcloud_decoder.cpp:225-240); the assembler synthesizes
+        frame coverage from inter-frame gaps (point_notime mode)."""
+        from vina_slam_tpu.platform import rosbag_write as rw
+
+        cfg = SlamConfig()
+        cfg.general.lidar_type = 5  # tartanair
+        cfg.general.lid_topic = "/tartanair/points"
+        cfg.general.imu_topic = "/tartanair/imu"
+        cfg.general.point_filter_num = 1
+        cfg.general.blind = 0.0
+        cfg.odometry.point_notime = 1
+
+        n = 200
+        t0 = 300.0
+        pts = rng.uniform(1.0, 6.0, (n, 3)).astype(np.float32)
+        rel = np.zeros(n, np.float32)
+        scans = [(t0 + 0.1 * k, pts, rel) for k in range(4)]
+        imu_t = np.arange(t0 - 0.5, t0 + 0.6, 0.005)
+        gyr = [np.zeros(3)] * len(imu_t)
+        acc = [np.array([0.0, 0.0, 1.0])] * len(imu_t)
+        path = str(tmp_path / "ta.db3")
+        rw.write_sequence_bag(path, cfg, scans, imu_t, gyr, acc)
+
+        frames = list(rosbag.replay_rosbag(path, cfg))
+        assert len(frames) >= 2
+        np.testing.assert_array_equal(frames[0].scan.pts, pts)
+        # no per-point time: rel_time must come back all-zero
+        assert (frames[0].scan.rel_time == 0).all()
+        assert frames[0].imu.t.size > 4
+
     def test_livox_custommsg_roundtrip(self, tmp_path):
         from vina_slam_tpu.platform import rosbag_write as rw
 
