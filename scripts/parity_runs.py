@@ -50,7 +50,11 @@ def main():
     os.makedirs(tmpdir, exist_ok=True)
 
     duration = float(os.environ.get("PARITY_DURATION", "8.0"))
+    only = os.environ.get("PARITY_ONLY", "")
     profiles = sorted(f for f in os.listdir(cfg_dir) if f.endswith(".yaml"))
+    if only:
+        profiles = [f for f in profiles if f.replace(".yaml", "") in
+                    only.split(",")]
 
     rows = []
     for prof in profiles:
@@ -108,9 +112,18 @@ def main():
         runner = SlamRunner(cfg, npad_map=8192)
         t0 = time.perf_counter()
         n = 0
+        t_prev = t0
         for frame in rosbag.replay_rosbag(bag_path, cfg):
             runner.process_frame(frame)
             n += 1
+            if os.environ.get("PARITY_TRACE"):
+                runner.sync()
+                t_now = time.perf_counter()
+                print(f"    [{n:03d}] {t_now - t_prev:6.2f}s "
+                      f"init={runner.motion_init_flag} "
+                      f"resets={runner.stats.resets} "
+                      f"init_rounds={runner.stats.init_rounds}", flush=True)
+                t_prev = t_now
         runner.sync()
         elapsed = time.perf_counter() - t0
 
