@@ -212,3 +212,76 @@ class TestNative:
         got_r = native.pc2_extract(buf.tobytes(), n, 16, 12, 3)
         np.testing.assert_allclose(got_x, xs, atol=1e-7)
         np.testing.assert_array_equal(got_r, rings)
+
+
+class TestWebViz:
+    """Live web viewer (platform/webviz.py) — the rviz MarkerArray analog
+    for headless deployments (octree.cpp:758-949 publishers)."""
+
+    def _tiny_map(self):
+        from vina_slam_tpu.mapping import voxel_map as vm
+        from vina_slam_tpu.mapping import voxel_hash as vh
+
+        ms = vm.MapStatic(capacity=1 << 10, levels=3, probe=16, max_new=256,
+                          pool_capacity=1 << 10)
+        m = vm.make_map(ms)
+        params = vm.default_params()
+        # hand-populate two planar leaves (viz reads keys/is_plane/state/
+        # plane_center/plane_normal/eig_val/plane_var only)
+        keys = jnp.asarray(
+            [vh.encode(0, jnp.asarray([1, 2, 3], jnp.int32)),
+             vh.encode(1, jnp.asarray([4, 5, 6], jnp.int32))])
+        m = m._replace(
+            keys=m.keys.at[:2].set(keys),
+            is_plane=m.is_plane.at[:2].set(True),
+            plane_center=m.plane_center.at[:2].set(
+                jnp.asarray([[1.5, 2.5, 3.5], [2.25, 2.75, 3.25]])),
+            plane_normal=m.plane_normal.at[:2].set(
+                jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])),
+            eig_val=m.eig_val.at[:2].set(
+                jnp.asarray([[1e-4, 0.02, 0.03], [2e-4, 0.01, 0.04]])),
+        )
+        return m, params
+
+    def test_scene_and_server_roundtrip(self, tmp_path):
+        import json
+        import urllib.request
+
+        from vina_slam_tpu.platform import webviz
+
+        m, params = self._tiny_map()
+        traj = np.column_stack([
+            np.linspace(0, 1, 5), np.linspace(0, 4, 5),
+            np.zeros(5), np.full(5, 1.0)])
+        path = str(tmp_path / "scene.json")
+        webviz.write_scene_json(path, traj, m, params)
+        scene = json.load(open(path))
+        assert scene["frames"] == 5
+        assert len(scene["planes"]) == 2
+        assert len(scene["normals"]) == 2
+        assert scene["planes"][0]["center"] == [1.5, 2.5, 3.5]
+        # arrow length = half the leaf edge (level 1 -> 0.25 at voxel 1.0)
+        n1 = scene["normals"][1]
+        assert abs((n1["end"][0] - n1["start"][0]) - 0.25) < 1e-6
+
+        srv = webviz.serve(path, port=0, background=True)
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            html = urllib.request.urlopen(base + "/").read().decode()
+            assert "vina_slam_tpu viewer" in html and "scene.json" in html
+            fetched = json.loads(
+                urllib.request.urlopen(base + "/scene.json").read())
+            assert fetched["frames"] == 5
+            assert urllib.request.urlopen(base + "/").status == 200
+        finally:
+            srv.shutdown()
+
+    def test_cli_viz_flag_registered(self):
+        from vina_slam_tpu import cli
+
+        p = None
+        try:
+            cli.main(["viz"])  # missing --scene must error, not crash
+        except SystemExit as e:
+            p = e.code
+        assert p == 2

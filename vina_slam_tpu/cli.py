@@ -49,6 +49,14 @@ def cmd_run(args):
             # asynchronously and the refined trajectory is written at the end
             writer.write(out["t"], out["pose_R"], out["pose_p"])
             n_streamed += 1
+        if args.live_scene and n % args.live_every == 0:
+            # live viewer feed (serve with `cli viz --scene <path>`); the
+            # rviz MarkerArray-publisher analog (octree.cpp:758-949)
+            from vina_slam_tpu.platform.webviz import write_scene_json
+            runner.drain_traj()
+            runner.sync_from_fused()
+            write_scene_json(args.live_scene, runner.trajectory(),
+                             runner.map, runner.params)
         if args.max_frames and n >= args.max_frames:
             break
     elapsed = time.perf_counter() - t0
@@ -71,6 +79,12 @@ def cmd_run(args):
     if args.markers:
         from vina_slam_tpu.platform.viz import save_markers_json
         save_markers_json(args.markers, runner.map, runner.params)
+    if args.live_scene:
+        from vina_slam_tpu.platform.webviz import write_scene_json
+        runner.drain_traj()
+        runner.sync_from_fused()
+        write_scene_json(args.live_scene, runner.trajectory(),
+                         runner.map, runner.params)
     print(json.dumps({
         "frames": n, "elapsed_s": round(elapsed, 2),
         "scans_per_sec": round(n / max(elapsed, 1e-9), 2),
@@ -111,6 +125,12 @@ def cmd_synth(args):
     }))
 
 
+def cmd_viz(args):
+    from vina_slam_tpu.platform.webviz import serve
+
+    serve(args.scene, port=args.port)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vina_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -121,6 +141,10 @@ def main(argv=None):
     pr.add_argument("--out", default="")
     pr.add_argument("--refined-out", default="")
     pr.add_argument("--markers", default="")
+    pr.add_argument("--live-scene", default="",
+                    help="write a live viewer scene JSON (see `viz`)")
+    pr.add_argument("--live-every", type=int, default=20,
+                    help="frames between live scene refreshes")
     pr.add_argument("--max-frames", type=int, default=0)
     pr.add_argument("--checkpoint", default="", help="save full state npz at end")
     pr.add_argument("--resume", default="", help="resume from a checkpoint npz")
@@ -129,6 +153,12 @@ def main(argv=None):
     ps = sub.add_parser("synth-bench", help="synthetic smoke run")
     ps.add_argument("--duration", type=float, default=4.0)
     ps.set_defaults(fn=cmd_synth)
+
+    pv = sub.add_parser("viz", help="serve the live web viewer")
+    pv.add_argument("--scene", required=True,
+                    help="scene JSON path written by `run --live-scene`")
+    pv.add_argument("--port", type=int, default=8008)
+    pv.set_defaults(fn=cmd_viz)
 
     args = p.parse_args(argv)
     args.fn(args)
