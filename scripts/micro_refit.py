@@ -54,7 +54,8 @@ def refit_compact(m, slots):
     rr = jnp.minimum(rows, C - 1)
     lv_a, _, _ = vm.slot_meta(m, rr, par)
     dt = wc.P.dtype
-    tot = cl.Cluster(P=m.fix_P[rr].astype(dt) + wc.P[rr],
+    from vina_slam_tpu.core.pointcov import sym3_unpack
+    tot = cl.Cluster(P=sym3_unpack(m.fix_P[rr]).astype(dt) + wc.P[rr],
                      v=m.fix_v[rr].astype(dt) + wc.v[rr],
                      N=m.fix_N[rr].astype(dt) + wc.N[rr])
     enough = ok & (tot.N > par.min_point[jnp.clip(lv_a, 0, 3)])
@@ -85,11 +86,11 @@ def refit_dense(m, slots):
                                     accT[4], accT[5])
     vx, vy, vz, wN = accT[6], accT[7], accT[8], accT[9]
     fN = m.fix_N
-    fP = m.fix_P.reshape(C, 9).T  # (9, C)
+    fP = m.fix_P.T  # (6, C) packed
     fv = m.fix_v.T
     tN = wN + fN
     t00, t01, t02 = P00 + fP[0], P01 + fP[1], P02 + fP[2]
-    t11, t12, t22 = P11 + fP[4], P12 + fP[5], P22 + fP[8]
+    t11, t12, t22 = P11 + fP[3], P12 + fP[4], P22 + fP[5]
     tvx, tvy, tvz = vx + fv[0], vy + fv[1], vz + fv[2]
     nn = jnp.maximum(tN, 1.0)
     mx, my, mz = tvx / nn, tvy / nn, tvz / nn

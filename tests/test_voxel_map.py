@@ -346,3 +346,42 @@ class TestMargi:
         # surviving entries still findable
         s3, _, _ = vm.descend(m3, jnp.asarray(pts, jnp.float32), par, MS)
         assert (np.asarray(s3) >= 0).all()
+
+
+class TestPackedSymmetric:
+    """SYM6/SYM9 packed storage must agree with the dense symmetric forms
+    (plane_var rows consumed by sym6_quadform; cov_add rows produced by
+    _bf_var45 — octree.cpp:83-92 Bf_var)."""
+
+    def test_bf_var45_matches_dense(self):
+        r = np.random.default_rng(3)
+        A = r.normal(size=(64, 3, 3)).astype(np.float32)
+        from vina_slam_tpu.core.pointcov import sym3_pack
+
+        var = jnp.asarray(A @ A.transpose(0, 2, 1))  # SPD
+        rel = jnp.asarray(r.normal(size=(64, 3)).astype(np.float32))
+        dense = np.asarray(vm._bf_var(var, rel))                 # (64, 9, 9)
+        packed = np.asarray(vm._bf_var45(sym3_pack(var), rel))   # (64, 45)
+        for a in range(9):
+            for b in range(9):
+                np.testing.assert_allclose(
+                    packed[:, vm.SYM9[a][b]], dense[:, a, b],
+                    rtol=1e-5, atol=1e-5)
+
+    def test_sym6_quadform_matches_dense(self):
+        r = np.random.default_rng(4)
+        A = r.normal(size=(32, 6, 6)).astype(np.float32)
+        S = A @ A.transpose(0, 2, 1)
+        p21 = np.stack([S[:, a, b] for a in range(6) for b in range(a, 6)],
+                       axis=-1)
+        # sanity: the comprehension order IS the SYM6 order
+        k = 0
+        for a in range(6):
+            for b in range(a, 6):
+                assert vm.SYM6[a][b] == k
+                k += 1
+        j = r.normal(size=(32, 6)).astype(np.float32)
+        want = np.einsum("na,nab,nb->n", j, S, j)
+        got = np.asarray(vm.sym6_quadform(
+            jnp.asarray(p21), tuple(jnp.asarray(j[:, a]) for a in range(6))))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -57,6 +57,25 @@ def var_init(ext_R, ext_p, pts_lidar, dept_err, beam_err_deg):
     return pts, var
 
 
+# Packed symmetric 3x3 in (xx, xy, xz, yy, yz, zz) order — matches the
+# voxel map's _seg_cols moment-column convention.
+SYM3 = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
+
+
+def sym3_pack(M):
+    """(..., 3, 3) symmetric -> (..., 6) packed upper triangle."""
+    return jnp.stack([M[..., 0, 0], M[..., 0, 1], M[..., 0, 2],
+                      M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]], axis=-1)
+
+
+def sym3_unpack(p6):
+    """(..., 6) packed -> full symmetric (..., 3, 3)."""
+    a, b, c, d, e, f = (p6[..., i] for i in range(6))
+    return jnp.stack([jnp.stack([a, b, c], -1),
+                      jnp.stack([b, d, e], -1),
+                      jnp.stack([c, e, f], -1)], -2)
+
+
 def world_var(pts_body, var_body, R, p, cov15):
     """pvec_update (point_utils.cpp:54-65): push pose uncertainty into the
     world-frame point covariance and return world points.

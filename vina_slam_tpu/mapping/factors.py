@@ -129,10 +129,14 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
     mean_w = mean_rel + centers[:, None, :] - p32[None, :, :]
     mean_b = bvm(mean_w, R32[None])                       # R^T mean
 
+    from vina_slam_tpu.core.pointcov import sym3_unpack
+
     return BAFactors(
         Pb=Pc_b, vb=mean_b,
         Nb=Nb,
-        fix_P=m.fix_P[safe],
+        # map storage is SYM3-packed; factors carry the full (V, 3, 3) —
+        # V is small (<= max_voxels_ba) so the unpack is negligible
+        fix_P=sym3_unpack(m.fix_P[safe]),
         fix_v=m.fix_v[safe],
         fix_N=m.fix_N[safe],
         centers=centers,
@@ -469,7 +473,7 @@ def lidar_acc(f: BAFactors, Rs, ps, W: int):
                                  for bb in range(6)], axis=-1)
                       for a in range(6)], axis=-2)         # (W, 6, 6)
     Hd = jnp.zeros((W, 6, W, 6), jnp.float32).at[
-        jnp.arange(W), :, jnp.arange(W), :].add(Hd_w)
+        jnp.arange(W), :, jnp.arange(W), :].add(Hd_w.astype(jnp.float32))
     H = H + Hd.reshape(W * 6, W * 6)
 
     residual = jnp.sum((coe * w0).astype(jnp.float64))

@@ -46,6 +46,48 @@ from vina_slam_tpu.core.eigh3 import eigh3, eigh3c
 from vina_slam_tpu.mapping import voxel_hash as vh
 
 
+# Packed symmetric 6x6: row-major upper-triangle order. SYM6[a][b] is the
+# packed column of entry (a, b); diagonals are 0,6,11,15,18,20.
+SYM6 = [[0] * 6 for _ in range(6)]
+_k = 0
+for _a in range(6):
+    for _b in range(_a, 6):
+        SYM6[_a][_b] = SYM6[_b][_a] = _k
+        _k += 1
+
+
+def sym3_quadform(var, n):
+    """n^T S n for a point covariance: accepts SYM3-packed (..., 6) or full
+    (..., 3, 3)."""
+    if var.shape[-1] == 6:
+        n0, n1, n2 = n[..., 0], n[..., 1], n[..., 2]
+        return (n0 * n0 * var[..., 0] + n1 * n1 * var[..., 3]
+                + n2 * n2 * var[..., 5]
+                + 2.0 * (n0 * n1 * var[..., 1] + n0 * n2 * var[..., 2]
+                         + n1 * n2 * var[..., 4]))
+    return jnp.sum(bmv(var, n) * n, axis=-1)
+
+
+def sym6_quadform(p21, j6):
+    """j^T S j for a packed symmetric 6x6: p21 (..., 21), j6 tuple/list of 6
+    (...,) components. Pure lane-wise VPU work — no 6x6 materialization."""
+    acc = 0.0
+    for a in range(6):
+        acc = acc + j6[a] * j6[a] * p21[..., SYM6[a][a]]
+        for b in range(a + 1, 6):
+            acc = acc + 2.0 * j6[a] * j6[b] * p21[..., SYM6[a][b]]
+    return acc
+
+
+# Packed symmetric 9x9 (same convention): SYM9[r][c] -> packed column of 45.
+SYM9 = [[0] * 9 for _ in range(9)]
+_k = 0
+for _a in range(9):
+    for _b in range(_a, 9):
+        SYM9[_a][_b] = SYM9[_b][_a] = _k
+        _k += 1
+
+
 class MapStatic(NamedTuple):
     """Hashable jit-static geometry of the map."""
     capacity: int = 1 << 18
@@ -92,10 +134,11 @@ class VoxelMap(NamedTuple):
                                # stay authoritative for insertion
     state: jnp.ndarray         # (C,) int32: 0 leaf, 1 split
     sealed: jnp.ndarray        # (C,) bool: fixed stats frozen (>= max_points)
-    fix_P: jnp.ndarray         # (C, 3, 3) f32, voxel-center-relative
+    fix_P: jnp.ndarray         # (C, 6) f32 SYM3-packed second moments,
+                               # voxel-center-relative
     fix_v: jnp.ndarray         # (C, 3) f32
     fix_N: jnp.ndarray         # (C,) f32
-    cov_add: jnp.ndarray       # (C, 9, 9) f32 — Bf_var accumulator of ALL points
+    cov_add: jnp.ndarray       # (C, 45) f32 SYM9-packed Bf_var accumulator of ALL points
                                # at their insertion-time world positions (the
                                # reference's ever-growing cov_add, octree.cpp:173-176)
     plane_center: jnp.ndarray  # (C, 3) f32 world
@@ -104,7 +147,13 @@ class VoxelMap(NamedTuple):
                                # [nx, ny, nz, cx, cy, cz, radius, is_plane]:
                                # the per-point match gate reads one row
                                # instead of 4 separate gathers
-    plane_var: jnp.ndarray     # (C, 6, 6) f32
+    plane_var: jnp.ndarray     # (C, 21) f32 packed upper triangle of the
+                               # symmetric 6x6 (normal, center) covariance,
+                               # row-major (a<=b; see SYM6 / sym6_quadform).
+                               # Packed because the matcher GATHERS a row
+                               # per query point: 21 lanes move ~40% of the
+                               # 36, and a (.., 6, 6) minor-dim layout pads
+                               # to full (8, 128) tiles on TPU
     plane_radius: jnp.ndarray  # (C,) f32 (= lambda_max)
     is_plane: jnp.ndarray      # (C,) bool
     eig_val: jnp.ndarray       # (C, 3) f32
@@ -130,7 +179,7 @@ class FixPool(NamedTuple):
     Holds world points + covariances of marginalized frames for voxels that
     have not yet sealed, so later subdivisions can redistribute them."""
     pts: jnp.ndarray    # (F, 3) f32 world
-    var: jnp.ndarray    # (F, 3, 3) f32
+    var: jnp.ndarray    # (F, 6) f32 SYM3-packed world point covariance
     valid: jnp.ndarray  # (F,) bool
     slot: jnp.ndarray   # (F,) i32 cached leaf assignment (refreshed on
                         # split redistribution and eviction)
@@ -146,14 +195,14 @@ def make_map(ms: MapStatic) -> VoxelMap:
         fkeys=jnp.zeros(C, jnp.int32),
         state=jnp.zeros(C, jnp.int32),
         sealed=jnp.zeros(C, bool),
-        fix_P=jnp.zeros((C, 3, 3), f32),
+        fix_P=jnp.zeros((C, 6), f32),
         fix_v=jnp.zeros((C, 3), f32),
         fix_N=jnp.zeros(C, f32),
-        cov_add=jnp.zeros((C, 9, 9), f32),
+        cov_add=jnp.zeros((C, 45), f32),
         plane_center=jnp.zeros((C, 3), f32),
         plane_normal=jnp.zeros((C, 3), f32),
         plane_pack=jnp.zeros((C, 8), f32),
-        plane_var=jnp.zeros((C, 6, 6), f32),
+        plane_var=jnp.zeros((C, 21), f32),
         plane_radius=jnp.zeros(C, f32),
         is_plane=jnp.zeros(C, bool),
         eig_val=jnp.zeros((C, 3), f32),
@@ -180,7 +229,7 @@ def make_pool(ms: MapStatic) -> FixPool:
     F = ms.pool_capacity
     return FixPool(
         pts=jnp.zeros((F, 3), jnp.float32),
-        var=jnp.zeros((F, 3, 3), jnp.float32),
+        var=jnp.zeros((F, 6), jnp.float32),
         valid=jnp.zeros(F, bool),
         slot=jnp.full((F,), -1, jnp.int32),
         head=jnp.zeros((), jnp.int32),
@@ -383,6 +432,32 @@ def _bf_var(var, rel):
     return jnp.concatenate([top, bot], axis=-2)  # (..., 9, 9)
 
 
+def _bf_var45(var6, rel):
+    """_bf_var in SYM9-packed columns (..., 45) from a SYM3-packed point
+    covariance (..., 6): the accumulator table stores only the 45 unique
+    entries of the symmetric 9x9, so scatter-adds move 45 lanes instead of
+    an (8, 128)-padded 9x9 tile, and no per-point matrix intermediate is
+    ever materialized."""
+    from vina_slam_tpu.core.pointcov import SYM3
+    x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
+    zero = jnp.zeros_like(x)
+    Brows = ((2 * x, zero, zero), (y, x, zero), (z, zero, x),
+             (zero, 2 * y, zero), (zero, z, y), (zero, zero, 2 * z))
+    v = [[var6[..., SYM3[i][j]] for j in range(3)] for i in range(3)]
+    U = [[sum(Brows[a][i] * v[i][j] for i in range(3)) for j in range(3)]
+         for a in range(6)]
+    out = []
+    for r in range(9):
+        for c in range(r, 9):
+            if c < 6:
+                out.append(sum(U[r][j] * Brows[c][j] for j in range(3)))
+            elif r < 6:
+                out.append(U[r][c - 6])
+            else:
+                out.append(v[r - 6][c - 6])
+    return jnp.stack(out, axis=-1)  # (..., 45)
+
+
 def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, jour):
     """Redistribute fixed mass after subdivisions (fix_divide semantics,
     octree.cpp:257-277), INCREMENTALLY: only pool points whose cached leaf
@@ -414,20 +489,21 @@ def _pool_fix(m: VoxelMap, pool: FixPool, params, ms, jour):
     sid = jnp.where(okm, new_slots, C)
     w = okm.astype(jnp.float32)
     p = rel.astype(jnp.float32) * w[:, None]
-    flat = jnp.concatenate([_outer9(p), p, w[:, None]], axis=-1)
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    flat = jnp.stack([px * px, px * py, px * pz, py * py, py * pz, pz * pz,
+                      px, py, pz, w], axis=-1)
     acc = jax.ops.segment_sum(flat, sid, num_segments=C + 1)[:C]
-    dP = acc[:, 0:9].reshape(C, 3, 3)
-    dv = acc[:, 9:12]
-    dN = acc[:, 12]
+    dP = acc[:, 0:6]
+    dv = acc[:, 6:9]
+    dN = acc[:, 9]
     grow = (~m.sealed).astype(jnp.float32)
-    B = _bf_var(pool.var[rr], rel.astype(jnp.float32)) * w[:, None, None]
-    dB = jax.ops.segment_sum(B.reshape(-1, 81), sid,
-                             num_segments=C + 1)[:C].reshape(C, 9, 9)
+    B = _bf_var45(pool.var[rr], rel.astype(jnp.float32)) * w[:, None]
+    dB = jax.ops.segment_sum(B, sid, num_segments=C + 1)[:C]
     m = m._replace(
-        fix_P=m.fix_P + dP * grow[:, None, None],
+        fix_P=m.fix_P + dP * grow[:, None],
         fix_v=m.fix_v + dv * grow[:, None],
         fix_N=m.fix_N + dN * grow,
-        cov_add=m.cov_add + dB * grow[:, None, None],
+        cov_add=m.cov_add + dB * grow[:, None],
     )
     tgt = jnp.where(rv, rr, pool.slot.shape[0])
     pool = pool._replace(
@@ -443,14 +519,18 @@ def accumulate_cov(m: VoxelMap, slots, pts_w, var_w, valid, params: MapParams,
     point lifetime, at insertion, exactly like the reference — the plane
     covariance therefore uses insertion-time positions (the reference's
     documented staleness)."""
+    from vina_slam_tpu.core.pointcov import sym3_pack
+
     flat_s = slots.reshape(-1)
     flat_p = pts_w.reshape(-1, 3)
-    flat_var = var_w.reshape(-1, 3, 3)
+    # accepts full (.., 3, 3) or SYM3-packed (.., 6) point covariances
+    flat_var = (var_w.reshape(-1, 6) if var_w.shape[-1] == 6
+                else sym3_pack(var_w.reshape(-1, 3, 3)))
     flat_v = valid.reshape(-1)
     _, centers, _ = slot_meta(m, flat_s, params)
     rel = flat_p - centers
     ok = flat_v & (flat_s >= 0)
-    B = (_bf_var(flat_var, rel) * ok[:, None, None].astype(rel.dtype)
+    B = (_bf_var45(flat_var, rel) * ok[:, None].astype(rel.dtype)
          ).astype(m.cov_add.dtype)
     tgt = jnp.where(ok, flat_s, ms.capacity)  # OOB rows dropped
     return m._replace(cov_add=m.cov_add.at[tgt].add(B, mode="drop"))
@@ -480,8 +560,8 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     (the caller transforms body buffers by the latest poses — this makes the
     reference's insert + recut pair a single idempotent recompute).
 
-    win_var/new_mask: optional (W, Np, 3, 3) world point covariances and a
-    (W, Np) mask of the freshly pushed frame. When given, recut owns the
+    win_var/new_mask: optional (W, Np, 6) SYM3-packed world point
+    covariances and a (W, Np) mask of the freshly pushed frame. When given, recut owns the
     Bf_var covariance accumulation of OctoTree::push / subdivide / push_fix
     (octree.cpp:151-300): a point's Bf contribution is scatter-added to its
     leaf's cov_add when it is first inserted (new_mask) and again to the
@@ -499,7 +579,12 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     flat_w = win_pts_w.reshape(-1, 3)
     flat_v = win_valid.reshape(-1)
     do_bf = win_var is not None
-    flat_var = win_var.reshape(-1, 3, 3) if do_bf else None
+    if do_bf:
+        from vina_slam_tpu.core.pointcov import sym3_pack
+        flat_var = (win_var.reshape(-1, 6) if win_var.shape[-1] == 6
+                    else sym3_pack(win_var.reshape(-1, 3, 3)))
+    else:
+        flat_var = None
     flat_new = (new_mask.reshape(-1) if new_mask is not None
                 else jnp.zeros_like(flat_v))
 
@@ -507,8 +592,8 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         """Scatter-add Bf_var of the selected points at their new slots."""
         _, c_new, _ = slot_meta(m, sel_slots, params)
         relb = (flat_w[sel_rows] - c_new).astype(jnp.float32)
-        B = (_bf_var(flat_var[sel_rows], relb)
-             * sel_ok[:, None, None].astype(jnp.float32))
+        B = (_bf_var45(flat_var[sel_rows], relb)
+             * sel_ok[:, None].astype(jnp.float32))
         tgt = jnp.where(sel_ok, sel_slots, C)
         return m._replace(cov_add=m.cov_add.at[tgt].add(
             B.astype(m.cov_add.dtype), mode="drop"))
@@ -526,11 +611,11 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         # gather -> (V,3,3) eigh3 -> scatter form spent its time moving
         # data and used 3 of 128 lanes in the matrix ops).
         wN = acc[9]
-        fP = m.fix_P.reshape(C, 9).T
+        fP = m.fix_P.T                      # (6, C) packed columns
         fv = m.fix_v.T
         tN = wN + m.fix_N
         t00, t01, t02 = acc[0] + fP[0], acc[1] + fP[1], acc[2] + fP[2]
-        t11, t12, t22 = acc[3] + fP[4], acc[4] + fP[5], acc[5] + fP[8]
+        t11, t12, t22 = acc[3] + fP[3], acc[4] + fP[4], acc[5] + fP[5]
         nn = jnp.maximum(tN, 1.0)
         mx, my, mz = (acc[6] + fv[0]) / nn, (acc[7] + fv[1]) / nn, (acc[8] + fv[2]) / nn
         c00 = t00 / nn - mx * mx
@@ -705,7 +790,7 @@ def match_with_slots(m: VoxelMap, wld, var_w, slot, params: MapParams):
     n = pk[..., 0:3]
     c = pk[..., 3:6]
     radius = pk[..., 6]
-    pvar = m.plane_var[s]
+    pvar = m.plane_var[s]                # (N, 21) packed symmetric
 
     d = wld - c
     dis_to_plane = jnp.abs(jnp.sum(n * d, axis=-1))
@@ -713,9 +798,10 @@ def match_with_slots(m: VoxelMap, wld, var_w, slot, params: MapParams):
     range_dis = dis_to_center - dis_to_plane * dis_to_plane
     gate1 = range_dis <= 9.0 * radius
 
-    J = jnp.concatenate([d, -n], axis=-1)  # (N, 6)
-    sigma_l = jnp.sum(bmv(pvar, J) * J, axis=-1)
-    sigma_l = sigma_l + jnp.sum(bmv(var_w, n) * n, axis=-1)
+    J6 = (d[..., 0], d[..., 1], d[..., 2],
+          -n[..., 0], -n[..., 1], -n[..., 2])
+    sigma_l = sym6_quadform(pvar, J6)
+    sigma_l = sigma_l + sym3_quadform(var_w, n)
     gate2 = dis_to_plane < 3.0 * jnp.sqrt(jnp.maximum(sigma_l, 0.0))
 
     ok = found & gate1 & gate2
@@ -742,13 +828,14 @@ def match_neighbors(m: VoxelMap, wld, params: MapParams, ms: MapStatic,
     n = pk[..., 0:3]
     c = pk[..., 3:6]
     radius = pk[..., 6]
-    pvar = m.plane_var[s]
+    pvar = m.plane_var[s]                # (S, 27, 21) packed symmetric
 
     d = wld[:, None, :] - c
     dis_to_plane = jnp.abs(jnp.sum(n * d, axis=-1))
     range_dis = jnp.sum(d * d, axis=-1) - dis_to_plane**2
-    J = jnp.concatenate([d, -n], axis=-1)
-    sigma_l = jnp.sum(bmv(pvar, J) * J, axis=-1)
+    J6 = (d[..., 0], d[..., 1], d[..., 2],
+          -n[..., 0], -n[..., 1], -n[..., 2])
+    sigma_l = sym6_quadform(pvar, J6)
     sigma_l = sigma_l + var_dummy * jnp.sum(n * n, axis=-1)
     ok = found & (range_dis <= 9.0 * radius) & (dis_to_plane < 3.0 * jnp.sqrt(jnp.maximum(sigma_l, 0)))
 
@@ -765,45 +852,6 @@ def match_neighbors(m: VoxelMap, wld, params: MapParams, ms: MapStatic,
 
 # ----------------------------------------------------------------- margi
 
-def _plane_update(tot: cl.Cluster, cov_add, eig_w, eig_V, centers):
-    """plane_update (octree.cpp:302-333): plane params + full 6x6
-    (normal, center) covariance via eigenvector perturbation. All inputs are
-    per-slot arrays; `centers` shifts the center back to world."""
-    N = jnp.maximum(tot.N, 1.0)
-    mean_rel = tot.v / N[:, None]
-    nv = 1.0 / N
-    u = [eig_V[..., :, 0], eig_V[..., :, 1], eig_V[..., :, 2]]
-    lam = eig_w
-
-    u_c = jnp.zeros(eig_V.shape[:-2] + (3, 9), eig_V.dtype)
-    for k in (1, 2):
-        ukl = u[k][..., :, None] * u[0][..., None, :]      # u_k u_0^T
-        fkl = jnp.concatenate([
-            ukl[..., 0:1, 0],
-            (ukl[..., 1, 0] + ukl[..., 0, 1])[..., None],
-            (ukl[..., 2, 0] + ukl[..., 0, 2])[..., None],
-            ukl[..., 1:2, 1],
-            (ukl[..., 1, 2] + ukl[..., 2, 1])[..., None],
-            ukl[..., 2:3, 2],
-            -(jnp.sum(u[k] * mean_rel, -1, keepdims=True) * u[0]
-              + jnp.sum(u[0] * mean_rel, -1, keepdims=True) * u[k]),
-        ], axis=-1)  # (..., 9)
-        denom = lam[..., 0] - lam[..., k]
-        denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
-        u_c = u_c + (nv / denom)[..., None, None] * u[k][..., :, None] * fkl[..., None, :]
-
-    Jc = bmm(u_c, cov_add)                                  # (..., 3, 9)
-    var_nn = bmmT(Jc, u_c)
-    Jc_N = nv[..., None, None] * Jc[..., :, 6:9]
-    var_cc = (nv * nv)[..., None, None] * cov_add[..., 6:9, 6:9]
-    top = jnp.concatenate([var_nn, Jc_N], axis=-1)
-    bot = jnp.concatenate([jnp.swapaxes(Jc_N, -1, -2), var_cc], axis=-1)
-    plane_var = jnp.concatenate([top, bot], axis=-2)
-
-    center_world = mean_rel + centers
-    return center_world, u[0], plane_var, lam[..., 2]
-
-
 @partial(jax.jit, static_argnames=("ms", "mgsize"))
 def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
           params: MapParams, ms: MapStatic, jour, mgsize: int = 1):
@@ -814,17 +862,17 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     slots: (W, Np) the leaf assignment from this step's recut — node
     membership is fixed at insertion like the reference's octrees, so margi
     re-transforms points with the POST-BA poses but does not reassign.
-    win_pts_w/win_var_w: (W, Np, 3)/(W, Np, 3, 3) world positions and world
+    win_pts_w/win_var_w: (W, Np, 3)/(W, Np, 6 packed) world positions and
     covariances under the post-BA poses; frames [0, mgsize) are absorbed.
     The caller shifts its buffers afterwards."""
     C = ms.capacity
     W, Np, _ = win_pts_w.shape
     flat_w = win_pts_w.reshape(-1, 3)
-    flat_var = win_var_w.reshape(-1, 3, 3)
+    from vina_slam_tpu.core.pointcov import sym3_pack
+    flat_var = (win_var_w.reshape(-1, 6) if win_var_w.shape[-1] == 6
+                else sym3_pack(win_var_w.reshape(-1, 3, 3)))
     flat_v = win_valid.reshape(-1)
     slots = slots.reshape(-1)
-
-    fix = cl.Cluster(P=m.fix_P, v=m.fix_v, N=m.fix_N)
 
     lv_pt, centers_pt, _ = slot_meta(m, slots, params)
     rel = flat_w - centers_pt
@@ -841,11 +889,11 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     # compaction sort, no gathers, no scatters (the earlier compacted
     # matrix-form chain ran the 3x3/9x9 algebra at <10% lane use and spent
     # the rest moving rows)
-    fP = m.fix_P.reshape(C, 9).T
+    fP = m.fix_P.T                      # (6, C) packed columns
     fv = m.fix_v.T
     tN = wN + m.fix_N
     t6 = (acc[0] + fP[0], acc[1] + fP[1], acc[2] + fP[2],
-          acc[3] + fP[4], acc[4] + fP[5], acc[5] + fP[8])
+          acc[3] + fP[3], acc[4] + fP[4], acc[5] + fP[5])
     nn = jnp.maximum(tN, 1.0)
     nv = 1.0 / nn
     mx, my, mz = (acc[6] + fv[0]) * nv, (acc[7] + fv[1]) * nv, (acc[8] + fv[2]) * nv
@@ -883,23 +931,21 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
             for j in range(9):
                 uc[a][j] = uc[a][j] + cka * fkl[j]
 
-    cov = m.cov_add  # (C, 9, 9) symmetric
-    Jc = [[sum(uc[a][jp] * cov[:, jp, j] for jp in range(9))
+    cov = m.cov_add  # (C, 45) SYM9-packed symmetric
+    Jc = [[sum(uc[a][jp] * cov[:, SYM9[jp][j]] for jp in range(9))
            for j in range(9)] for a in range(3)]
-    pv6 = [[None] * 6 for _ in range(6)]
+    # packed upper triangle (SYM6 order) — the matcher consumes this row
+    # per query via sym6_quadform, so only the 21 unique entries are built
+    pv21 = [None] * 21
     for a in range(3):
+        for b in range(a, 3):
+            pv21[SYM6[a][b]] = sum(Jc[a][j] * uc[b][j] for j in range(9))
         for b in range(3):
-            if b >= a:
-                pv6[a][b] = sum(Jc[a][j] * uc[b][j] for j in range(9))
-            jcn = nv * Jc[a][6 + b]
-            pv6[a][3 + b] = jcn
-            pv6[3 + b][a] = jcn
-            if b >= a:
-                pv6[3 + a][3 + b] = nv * nv * cov[:, 6 + a, 6 + b]
-    for a in range(6):
-        for b in range(a):
-            pv6[a][b] = pv6[b][a] if pv6[a][b] is None else pv6[a][b]
-    pv = jnp.stack([jnp.stack(pv6[a], axis=-1) for a in range(6)], axis=-2)
+            pv21[SYM6[a][3 + b]] = nv * Jc[a][6 + b]
+    for a in range(3):
+        for b in range(a, 3):
+            pv21[SYM6[3 + a][3 + b]] = nv * nv * cov[:, SYM9[6 + a][6 + b]]
+    pv = jnp.stack(pv21, axis=-1)       # (C, 21)
 
     # dense slot centers straight from the decoded meta columns (a
     # slot_meta(arange(C)) would be a C-row self-gather)
@@ -918,7 +964,7 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
         plane_center=jnp.where(u3, pc, m.plane_center),
         plane_normal=jnp.where(u3, pn, m.plane_normal),
         plane_pack=jnp.where(u3, pack_rows, m.plane_pack),
-        plane_var=jnp.where(u3[..., None], pv, m.plane_var),
+        plane_var=jnp.where(u3, pv, m.plane_var),
         plane_radius=jnp.where(upd, l2, m.plane_radius),
         last_num=jnp.where(upd, tN, m.last_num),
         jour=jnp.where(active, jour, m.jour),
@@ -934,21 +980,23 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     w_m = flat_w[:nm]
     var_m = flat_var[:nm]
     slot_unsealed = (slots_m >= 0) & (
-        fix.N[jnp.maximum(slots_m, 0)] < params.max_points)
+        m.fix_N[jnp.maximum(slots_m, 0)] < params.max_points)
     append = flat_v[:nm] & slot_unsealed
 
     # marginalized-frame contribution per slot (for the updated fixed
     # stats); the points' Bf covariance contributions are ALREADY in cov_add
     # (added once at insertion, accumulate_cov) — the reference never
     # re-adds either
-    wc_m = _seg_cluster(slots_m, rel_m, append, C)
-    fix_new = cl.add(fix, wc_m)
+    wc_m = _seg_cols(slots_m, rel_m, append, C)       # (10, C)
+    fix_P_new = m.fix_P + wc_m[0:6].T
+    fix_v_new = m.fix_v + wc_m[6:9].T
+    fix_N_new = m.fix_N + wc_m[9]
 
-    newly_sealed = leaf & (fix_new.N >= params.max_points) & ~m.sealed
+    newly_sealed = leaf & (fix_N_new >= params.max_points) & ~m.sealed
     sealed = m.sealed | newly_sealed
     m = m._replace(
         sealed=sealed,
-        fix_P=fix_new.P, fix_v=fix_new.v, fix_N=fix_new.N,
+        fix_P=fix_P_new, fix_v=fix_v_new, fix_N=fix_N_new,
     )
 
     # ring-append the marginalized raw points (pool feeds future splits)

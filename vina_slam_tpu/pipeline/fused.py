@@ -43,7 +43,7 @@ class SteadyState(NamedTuple):
     xs: NavState                   # window states, batched (W,)
     pre_f: pre.PreintFactor        # (W-1,) batched window edges
     win_pts: jnp.ndarray           # (W, Np, 3) f32 body
-    win_var: jnp.ndarray           # (W, Np, 3, 3) f32 world var @ insertion
+    win_var: jnp.ndarray           # (W, Np, 6) f32 SYM3-packed world var @ insertion
     win_valid: jnp.ndarray         # (W, Np)
     win_slots: jnp.ndarray         # (W, Np) i32 cached leaf slots (-1 unknown)
     win_count: jnp.ndarray         # () i32
@@ -157,7 +157,8 @@ def steady_step(
         return st._replace(x=x, degrade_cnt=degrade_cnt)
 
     # ---------------- window push ----------------
-    _, w_var = pointcov.world_var(map_body, map_var, x.R, x.p, x.cov)
+    _, w_var_full = pointcov.world_var(map_body, map_var, x.R, x.p, x.cov)
+    w_var = pointcov.sym3_pack(w_var_full)
     i = st.win_count
     win_pts = _set_frame(st.win_pts, i, map_body)
     win_var = _set_frame(st.win_var, i, w_var)

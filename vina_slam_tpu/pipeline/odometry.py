@@ -193,7 +193,10 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
     # recomputes per iteration; documented deviation, PARITY.md)
     rot_var0 = x.cov[0:3, 0:3].astype(f32)
     tsl_var0 = x.cov[3:6, 3:6].astype(f32)
-    var_world0 = (
+    # SYM3-packed: the while_loop captures this (N,) x 6-lane constant in
+    # HBM; a (N, 3, 3) form would occupy a full (8, 128) tile per point
+    from vina_slam_tpu.core.pointcov import sym3_pack
+    var_world0 = sym3_pack(
         sandwich(jnp.broadcast_to(R0, var_body.shape), var_body)
         + sandwich(phat, jnp.broadcast_to(rot_var0, var_body.shape))
         + tsl_var0

@@ -69,7 +69,10 @@ def _var_init_jit(pts, ext_R, ext_p, dept_err, beam_err):
 
 @jax.jit
 def _world_var_jit(pts_body, var_body, R, p, cov):
-    return pointcov.world_var(pts_body, var_body, R, p, cov)
+    """World points + SYM3-packed world covariance (the window/pool
+    storage format — see pointcov.sym3_pack)."""
+    pts_w, var_w = pointcov.world_var(pts_body, var_body, R, p, cov)
+    return pts_w, pointcov.sym3_pack(var_w)
 
 
 @dataclass
@@ -153,7 +156,7 @@ class SlamRunner:
         self.x_buf: list = []
         self.pre_buf: list = []
         self.win_pts = jnp.zeros((self.W, Np, 3), jnp.float32)
-        self.win_var = jnp.zeros((self.W, Np, 3, 3), jnp.float32)
+        self.win_var = jnp.zeros((self.W, Np, 6), jnp.float32)
         self.win_valid = jnp.zeros((self.W, Np), bool)
         self.motion_init_flag = True
         self._fused = None

@@ -62,8 +62,9 @@ def collect_plane_markers(m, params, max_trace: float = 0.25,
     center = np.asarray(m.plane_center)[idx]
     normal = np.asarray(m.plane_normal)[idx]
     eig = np.clip(np.asarray(m.eig_val)[idx], 0.0, None)
+    # plane_var rows are SYM6-packed: normal-block diagonals at 0, 6, 11
     pvar = np.asarray(m.plane_var)[idx]
-    trace = np.clip(pvar[:, 0, 0] + pvar[:, 1, 1] + pvar[:, 2, 2], 0, max_trace)
+    trace = np.clip(pvar[:, 0] + pvar[:, 6] + pvar[:, 11], 0, max_trace)
     color = map_jet((trace / max_trace) ** pow_num)
     out = []
     for k in range(len(idx)):
@@ -98,7 +99,7 @@ def collect_normal_markers(m, params, max_trace: float = 0.25,
     edge = float(params.voxel_size) / (2.0 ** lv)
     length = edge / 2.0  # 2 * quater_length, octree.cpp:900
     pvar = np.asarray(m.plane_var)[idx]
-    trace = np.clip(pvar[:, 0, 0] + pvar[:, 1, 1] + pvar[:, 2, 2], 0, max_trace)
+    trace = np.clip(pvar[:, 0] + pvar[:, 6] + pvar[:, 11], 0, max_trace)
     color = map_jet((trace / max_trace) ** pow_num)
     out = []
     for k in range(len(idx)):
