@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from vina_slam_tpu.core import so3
 from vina_slam_tpu.core.constants import DIM, NMATCH
 from vina_slam_tpu.core.mat3 import bmm, bmv, sandwich
-from vina_slam_tpu.core.eigh3 import eigh3
+from vina_slam_tpu.core.eigh3 import eigh3, eigh3c
 from vina_slam_tpu.core.state import NavState
 from vina_slam_tpu.core.linalg import inv_psd_refined as inv_psd
 from vina_slam_tpu.mapping import voxel_hash as vh
@@ -96,41 +96,49 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
         inb = seg < cap
         ucoords = jnp.zeros((cap, 3), jnp.int32).at[
             jnp.where(inb, seg, cap)].set(coords, mode="drop")
-        from vina_slam_tpu.mapping.voxel_map import _outer9
+        # flat-column moments + componentwise eigensolve (the recut-refit
+        # redesign): no (cap, 3, 3) tables, no matrix eigh — every per-voxel
+        # quantity is a lane-packed (cap,) vector
         w = inb.astype(f32)
         centers_vox = (coords.astype(f32) + 0.5) * edge
         rel = (pts - centers_vox) * w[:, None]
-        flat = jnp.concatenate([_outer9(rel), rel, w[:, None]], axis=-1)
-        acc = jax.ops.segment_sum(flat, seg, num_segments=cap + 1)[:cap]
-        P = acc[:, 0:9].reshape(cap, 3, 3)
-        v = acc[:, 9:12]
-        n = acc[:, 12]
+        rx, ry, rz = rel[..., 0], rel[..., 1], rel[..., 2]
+        flat = jnp.stack([rx * rx, rx * ry, rx * rz, ry * ry, ry * rz,
+                          rz * rz, rx, ry, rz, w], axis=-1)
+        accT = jax.ops.segment_sum(flat, seg, num_segments=cap + 1)[:cap].T
 
+        n = accT[9]
         nn = jnp.maximum(n, 1.0)
-        mean_rel = v / nn[:, None]
-        Cov = P / nn[:, None, None] - mean_rel[:, None, :] * mean_rel[:, :, None]
-        lmbd, U = eigh3(Cov)
+        inv = 1.0 / nn
+        mx, my, mz = accT[6] * inv, accT[7] * inv, accT[8] * inv
+        (l0, l1, l2), U = eigh3c(
+            accT[0] * inv - mx * mx, accT[1] * inv - mx * my,
+            accT[2] * inv - mx * mz, accT[3] * inv - my * my,
+            accT[4] * inv - my * mz, accT[5] * inv - mz * mz)
+        u0 = U[0]
 
         occupied = tbl != vh.EMPTY32
-        ratio2 = lmbd[:, 0] / jnp.maximum(lmbd[:, 2], 1e-20)
-        is_pl = occupied & (n >= 3) & (lmbd[:, 0] < min_eigen_value) & (
+        ratio2 = l0 / jnp.maximum(l2, 1e-20)
+        is_pl = occupied & (n >= 3) & (l0 < min_eigen_value) & (
             ratio2 < plane_thre[min(l, 3)])
 
         # voxel centers back to absolute (ucoords from the winner-scatter)
         ucenter = (ucoords.astype(f32) + 0.5) * edge
-        center_abs = ucenter + mean_rel
+        center_abs = ucenter + jnp.stack([mx, my, mz], axis=-1)
 
-        lsum = jnp.sum(lmbd, axis=-1) + 1e-10
-        quality = 1.0 - lmbd[:, 0] / lsum
+        lsum = l0 + l1 + l2 + 1e-10
+        quality = 1.0 - l0 / lsum
         keep = (
             is_pl
-            & (lmbd[:, 1] > 1e-12)
-            & (lmbd[:, 0] / jnp.maximum(lmbd[:, 1], 1e-20) <= 0.12)
+            & (l1 > 1e-12)
+            & (l0 / jnp.maximum(l1, 1e-20) <= 0.12)
             & (quality > 0.5)
         )
         outs.append(ScanPlanes(
-            center=center_abs, normal=U[..., :, 0],
-            quality=quality, sigma_n=jnp.sqrt(jnp.maximum(lmbd[:, 0] / lsum, 0.0)),
+            center=center_abs,
+            normal=jnp.stack([u0[0], u0[1], u0[2]], axis=-1),
+            quality=quality,
+            sigma_n=jnp.sqrt(jnp.maximum(l0 / lsum, 0.0)),
             valid=keep,
         ))
 
@@ -176,7 +184,6 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
     x_prop = x
     cov_inv = inv_psd(x.cov)
     f32 = pts_body.dtype
-    phat = so3.hat(pts_body)
     refind_cap = max(512, pts_body.shape[0] // 8)
 
     # descend once at the prior pose; iterations verify + re-walk movers
@@ -196,9 +203,10 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
     # SYM3-packed: the while_loop captures this (N,) x 6-lane constant in
     # HBM; a (N, 3, 3) form would occupy a full (8, 128) tile per point
     from vina_slam_tpu.core.pointcov import sym3_pack
+    phat0 = so3.hat(pts_body)           # loop-free: fused into var_world0
     var_world0 = sym3_pack(
         sandwich(jnp.broadcast_to(R0, var_body.shape), var_body)
-        + sandwich(phat, jnp.broadcast_to(rot_var0, var_body.shape))
+        + sandwich(phat0, jnp.broadcast_to(rot_var0, var_body.shape))
         + tsl_var0
     )
 
@@ -229,7 +237,9 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
 
         w_r = jnp.where(ok, 1.0 / (0.0005 + sigma_d), 0.0)
         resi = jnp.sum(nrm * (wld - ctr), axis=-1)
-        jac_rot = bmv(phat, nrm @ R32)
+        # [p]x (R^T n) as a cross product: keeps the loop free of a
+        # captured (N, 3, 3) skew table (a full (8,128) tile per point)
+        jac_rot = jnp.cross(pts_body, nrm @ R32)
         jac = jnp.concatenate([jac_rot, nrm], axis=-1).astype(jnp.float64)
         w64 = w_r.astype(jnp.float64)
         HTH = jnp.einsum("n,ni,nj->ij", w64, jac, jac)
@@ -306,7 +316,6 @@ def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
     x_prop = x
     cov_inv = inv_psd(x.cov) / 1000.0
     f32 = pts_body.dtype
-    phat = so3.hat(pts_body)
     bigdist = jnp.asarray(1e12, f32)
 
     def knn_planes(x_c):
@@ -346,7 +355,7 @@ def iekf_update_knn(x: NavState, map_pts, map_valid, pts_body, valid,
         R32, p32 = x_c.R.astype(f32), x_c.p.astype(f32)
         wld = pts_body @ R32.T + p32
         pd2 = jnp.sum(normal * wld, axis=-1) + dconst
-        jac_rot = bmv(phat, normal @ R32)
+        jac_rot = jnp.cross(pts_body, normal @ R32)
         jac = jnp.concatenate([jac_rot, normal], axis=-1).astype(jnp.float64)
         w = ok.astype(jnp.float64)
         HTH = jnp.einsum("n,ni,nj->ij", w, jac, jac)
