@@ -116,14 +116,28 @@ def main():
     # BENCH_SEQS > 1 drives N sequences through ONE sharded step, one
     # sequence per device with native control flow (production form).
     n_seqs = int(os.environ.get("BENCH_SEQS", "1"))
+    # BENCH_VMAP >= 2 batches N sequences on ONE chip via the vmapped step
+    # (multiseq.make_batched_step): the single-chip batched-deployment
+    # number. Honest in steady state — the window-full branch is taken
+    # every step once the window fills, so vmap's cond->select costs only
+    # the identity-branch copy (which penalizes, never inflates, the
+    # number). Reported with mode/per-seq labels so it can't be confused
+    # with single-sequence latency.
+    n_vmap = int(os.environ.get("BENCH_VMAP", "0"))
 
     STATE["device"] = str(jax.devices()[0])
+    if n_vmap >= 2 and n_seqs > 1:
+        log("ERROR: BENCH_VMAP and BENCH_SEQS are mutually exclusive")
+        sys.exit(2)
     if n_seqs > 1 and len(jax.devices()) < n_seqs:
-        # a vmapped fallback would execute both cond branches and
-        # mis-measure; refuse instead of reporting a wrong number
+        # a vmapped fallback would SILENTLY execute both cond branches and
+        # mis-measure; refuse instead of reporting a wrong number (use
+        # BENCH_VMAP to opt into the labeled batched mode)
         log(f"ERROR: BENCH_SEQS={n_seqs} needs {n_seqs} devices, "
             f"have {len(jax.devices())}. Refusing the vmapped fallback "
-            f"(it executes both cond branches and under-reports).")
+            f"(it executes both cond branches and under-reports); "
+            f"set BENCH_VMAP={n_seqs} for the labeled single-chip "
+            f"batched mode.")
         sys.exit(2)
 
     cfg = SlamConfig()
@@ -181,7 +195,7 @@ def main():
     # leave headroom for the final sync + ATE bookkeeping
     deadline = _T0 + budget_s - 30.0
 
-    if n_seqs <= 1:
+    if n_seqs <= 1 and n_vmap < 2:
         pack = None
         seed = 4
         while pack is None and seed < 12:
@@ -226,9 +240,10 @@ def main():
         import jax.numpy as jnp
         from vina_slam_tpu.parallel import multiseq
 
+        n_want = n_vmap if n_vmap >= 2 else n_seqs
         packs = []
         seed = 4
-        while len(packs) < n_seqs and seed < 4 + 4 * n_seqs:
+        while len(packs) < n_want and seed < 4 + 4 * n_want:
             p = warm_runner(seed)
             seed += 1
             if p is not None:
@@ -240,11 +255,15 @@ def main():
         gts_list = [p[3] for p in packs]
         r0 = runners[0]
         stacked = multiseq.stack_states([r._fused for r in runners])
-        from vina_slam_tpu.parallel import mesh as pmesh
-        msh = pmesh.make_mesh(n_seqs)
-        stacked = multiseq.shard_states(stacked, msh)
-        step = multiseq.make_sharded_step(
-            msh, r0.ms, r0.W, cfg.tpu.max_voxels_ba, r0._cfgs)
+        if n_vmap >= 2:
+            step = multiseq.make_batched_step(
+                r0.ms, r0.W, cfg.tpu.max_voxels_ba, r0._cfgs)
+        else:
+            from vina_slam_tpu.parallel import mesh as pmesh
+            msh = pmesh.make_mesh(n_seqs)
+            stacked = multiseq.shard_states(stacked, msh)
+            step = multiseq.make_sharded_step(
+                msh, r0.ms, r0.W, cfg.tpu.max_voxels_ba, r0._cfgs)
 
         def batch_args(i):
             # force one bucket so per-sequence IMU arrays stack
@@ -290,6 +309,7 @@ def main():
         ate = float(np.nanmean(ates))
         frames = all_frames[0]
         extras = {
+            "mode": "vmap_single_chip" if n_vmap >= 2 else "sharded_multichip",
             "sequences": n_seqs,
             "scans_per_sec_per_seq": round(scans_per_sec / n_seqs, 3),
             "ate_per_seq_mm": [round(a * 1e3, 2) for a in ates],

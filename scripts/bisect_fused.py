@@ -51,7 +51,8 @@ def main():
     args = runner.fused_args(frames[split])
     assert args is not None
 
-    stages = ["down", "iekf", "win", "recut", "extract", "ba", "all"]
+    stages = ["prop", "down", "iekf", "win", "recut", "extract", "lm", "ba",
+              "all"]
     prev = 0.0
     print(f"{'prefix':10s} {'total ms':>9s} {'delta ms':>9s}", flush=True)
     for stage in stages:

@@ -217,7 +217,14 @@ def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
             pre_f_, dxi[: (W - 1) * DIM].reshape(W - 1, DIM)) if use_imu else pre_f_
 
         q1 = 0.5 * jnp.dot(dxi, u * (D @ dxi) - gf)
-        res2, _, _ = total_eval(w_try, pre_try, False)
+        # ONE full Jacobian evaluation at the trial point replaces the
+        # residual-only trial eval PLUS the accepted-step Hessian recompute
+        # (is_calc_hess): lidar_acc is no dearer than lidar_residual (both
+        # are dominated by the column aggregation) and already returns the
+        # energy, so on accept the new H/g are free and on reject they are
+        # simply dropped — same accept/reject sequence, ~2 factor sweeps
+        # per iteration saved.
+        res2, H2, g2 = total_eval(w_try, pre_try, True)
 
         q = res1 - res2
         accept, u2, v2 = _nielsen(u, v, q, q1)
@@ -234,15 +241,10 @@ def damping_iter(w: WindowPoses, lidar_f: fx.BAFactors, pre_f, imu_coef,
             dba_buf=jnp.where(accept, pre_try.dba_buf, pre_f_.dba_buf),
         ) if use_imu else pre_f_
 
-        # recompute Hessian only after accepted steps (is_calc_hess)
-        def recompute(_):
-            return total_eval(w_next, pre_next, True)
-
-        def keep(_):
-            return res1, H, g
-
-        res_n, H_n, g_n = jax.lax.cond(accept, recompute, keep, None)
-        hess_out = jnp.where(accept, H_n, hess_out)
+        res_n = jnp.where(accept, res2, res1)
+        H_n = jnp.where(accept, H2, H)
+        g_n = jnp.where(accept, g2, g)
+        hess_out = jnp.where(accept, H2, hess_out)
 
         converged = jnp.abs((res1 - res2) / jnp.maximum(jnp.abs(res1), 1e-30)) < 1e-6
         return (i + 1, converged, w_next, pre_next, u2, v2, res_n, H_n, g_n,
@@ -295,13 +297,17 @@ def damping_iter_lidar_only(w: WindowPoses, lidar_f: fx.BAFactors,
             R=_bmm(w_.R, so3.exp(d[:, 0:3])),
             p=w_.p + d[:, 3:6])
         q1 = 0.5 * jnp.dot(dxi, u * (D @ dxi) - gf)
-        res2 = fx.lidar_residual(lidar_f, w_try.R, w_try.p)
+        # one full eval at the trial point (see damping_iter): the energy
+        # comes with the Jacobians, so accept keeps H2/g2 and reject drops
+        # them — no separate residual pass, no recompute cond
+        res2, g2, H2 = ev_full(w_try)
         q = res1 - res2
         accept, u2, v2 = _nielsen(u, v, q, q1)
         w_next = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), w_, w_try)
-        res_n, g_n, H_n = jax.lax.cond(
-            accept, lambda _: ev_full(w_next), lambda _: (res1, g, H), None)
-        hess_out = jnp.where(accept, H_n, hess_out)
+        res_n = jnp.where(accept, res2, res1)
+        g_n = jnp.where(accept, g2, g)
+        H_n = jnp.where(accept, H2, H)
+        hess_out = jnp.where(accept, H2, hess_out)
         converged = jnp.abs((res1 - res2) / jnp.maximum(jnp.abs(res1), 1e-30)) < 1e-6
         return (i + 1, converged, w_next, u2, v2, res_n, H_n, g_n, hess_out, res2)
 

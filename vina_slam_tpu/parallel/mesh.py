@@ -16,6 +16,10 @@ equivalents here:
 The voxel map itself stays replicated: it is a few hundred MB and every
 shard needs random access to it; sharding the point/voxel WORK (the
 bandwidth-heavy part) is where the reference spends its threads too.
+The partitioned-table alternative (SURVEY §5.8) is implemented and
+measured in parallel/shard_table.py — it buys ~D x map capacity per chip
+at the cost of broadcasting every scan's queries over ICI, which is the
+right trade only when the map outgrows HBM.
 """
 
 from __future__ import annotations

@@ -114,6 +114,10 @@ def steady_step(
     deskewed = ekf_mod._deskew(
         pts, rel_time, pts_valid, pose_table, offt_i, n_valid_i,
         R_end, p_end, ext_R, ext_p)
+    if stop_after == "prop":  # bisect point: propagation + deskew only
+        k = min(deskewed.shape[0], st.win_pts.shape[1])
+        return st._replace(
+            x=x, win_pts=st.win_pts.at[0, :k].set(deskewed[:k]))
 
     # ---------------- downsample (with half-size retry) ----------------
     dpts, dvalid, n_ds = ds_ops.downsample_mean(
@@ -227,6 +231,9 @@ def steady_step(
         # only R/p flow back into the odometry state, like the reference
         # (local_mapping.cpp:501-502) and the modular _absorb_ba
         x = x._replace(R=w1.R[W - 1], p=w1.p[W - 1])
+        if stop_after == "lm":  # bisect point: BA without margi/shift
+            return (m, pool, xs, pre_f, win_pts, win_var, win_valid,
+                    win_slots, x, jour)
 
         R32 = xs.R.astype(jnp.float32)
         p32 = xs.p.astype(jnp.float32)
@@ -244,14 +251,21 @@ def steady_step(
         pre_f = jax.tree_util.tree_map(lambda f: jnp.roll(f, -1, axis=0), pre_f)
         return m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x, jour
 
-    def not_full(op):
-        return op
+    # 0/1-iteration while_loop, NOT lax.cond (same reasoning as evict below):
+    # the cond's untaken identity branch forced fresh output buffers for the
+    # whole map + pool every step, so margi's .at[].set column updates copied
+    # instead of aliasing; a while aliases its carry in place and simply runs
+    # zero iterations during window warmup.
+    def full_body(carry):
+        out = full_branch(carry[:-1])
+        return (*out, jnp.asarray(True))
 
-    op = (m, pool0, xs, pre_f, win_pts, win_var, win_valid, win_slots, x, st.jour)
+    op = (m, pool0, xs, pre_f, win_pts, win_var, win_valid, win_slots, x,
+          st.jour, jnp.asarray(False))
     (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x,
-     jour) = jax.lax.cond(full, full_branch, not_full, op)
+     jour, _) = jax.lax.while_loop(lambda c: ~c[-1] & full, full_body, op)
     win_count = jnp.where(full, win_count - 1, win_count)
-    if stop_after == "ba":
+    if stop_after in ("lm", "ba"):
         return st._replace(x=x, m=m, pool=pool, xs=xs, pre_f=pre_f,
                            win_pts=win_pts, win_var=win_var,
                            win_valid=win_valid, win_slots=win_slots,
