@@ -120,3 +120,36 @@ class TestFusedCheckpoint:
         n = min(len(ref), len(out))
         assert n >= len(frames) - 12
         np.testing.assert_allclose(out[-1, 1:4], ref[-1, 1:4], atol=5e-3)
+
+
+class TestProfileProgramSharing:
+    """Profiles that differ only in float tuning must select the SAME
+    compiled fused-step program (round-2 review: every profile paid its own
+    minutes-long compile because tuning floats were baked in as statics)."""
+
+    def test_shipped_profiles_collapse_to_structural_keys(self):
+        import pathlib
+
+        from vina_slam_tpu.core.config import load_config
+
+        root = pathlib.Path(__file__).resolve().parent.parent / "configs"
+        keys = {}
+        layers = {}
+        for y in sorted(root.glob("*.yaml")):
+            cfg = load_config(str(y))
+            r = SlamRunner(cfg, npad_map=4096)
+            keys[y.stem] = r.fused_program_key()
+            layers[y.stem] = int(cfg.local_ba.max_layer)
+        # every profile with the same max_layer shares ONE program key —
+        # down_size (outdoor_fly: 0.5 vs 0.1), error model, and plane gates
+        # are traced, not static
+        by_layer = {}
+        for name, k in keys.items():
+            by_layer.setdefault(layers[name], set()).add(k)
+        assert len(keys) >= 6
+        for lay, ks in by_layer.items():
+            assert len(ks) == 1, f"max_layer={lay} profiles diverge: {ks}"
+        # and the tuning knobs really are traced: the static tuple contains
+        # no floats
+        for k in keys.values():
+            assert not any(isinstance(v, float) for v in k[3])

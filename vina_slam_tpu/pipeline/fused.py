@@ -93,15 +93,18 @@ def steady_step(
     # runtime params
     params: vm.MapParams, noise_meas, noise_walk, cov_gyr, cov_acc,
     cov_bg, cov_ba, ext_R, ext_p, scale_gravity, imu_coef,
-    # statics
+    # traced tuning knobs: kept OUT of the static tuple so profiles that
+    # differ only in float tuning (down_size, sensor error model, plane
+    # gates — which live in `params`) share ONE compiled program; the six
+    # shipped profiles collapse to two structural variants (max_layer 2/3)
+    down_size, dept_err, beam_err,
+    # statics — program STRUCTURE only
     ms: vm.MapStatic, W: int, Vmax: int,
-    cfgs,  # hashable tuple: (down_size, dept_err, beam_err, if_ba, npad_map,
-           #                  plane_thre0..3 as floats, min_eigen, max_iter_ba,
+    cfgs,  # hashable tuple: (if_ba, npad_map, max_iter_ba,
            #                  use_normal, use_vnc)
     stop_after: str = "all",  # profiling bisect: compile a prefix program
 ):
-    (down_size, dept_err, beam_err, if_ba, npad_map, pt0, pt1, pt2, pt3,
-     min_eig_f, ba_iters, use_normal, use_vnc) = cfgs
+    (if_ba, npad_map, ba_iters, use_normal, use_vnc) = cfgs
     x = st.x
 
     # ---------------- EKF propagation + deskew ----------------
@@ -120,15 +123,15 @@ def steady_step(
             x=x, win_pts=st.win_pts.at[0, :k].set(deskewed[:k]))
 
     # ---------------- downsample (with half-size retry) ----------------
+    down32 = jnp.asarray(down_size, jnp.float32)
     dpts, dvalid, n_ds = ds_ops.downsample_mean(
-        deskewed, pts_valid, jnp.asarray(down_size, jnp.float32), npad_map)
+        deskewed, pts_valid, down32, npad_map)
 
     # half-size retry only when the scan came out sparse — a 0/1-iteration
     # while_loop so the second downsample doesn't execute every scan
     def ds_retry(carry):
         dp2, dv2, _ = ds_ops.downsample_mean(
-            deskewed, pts_valid, jnp.asarray(down_size / 2, jnp.float32),
-            npad_map)
+            deskewed, pts_valid, down32 / 2, npad_map)
         return dp2, dv2, jnp.asarray(True)
 
     dpts, dvalid, _ = jax.lax.while_loop(
@@ -148,7 +151,7 @@ def steady_step(
     if use_vnc:
         planes = odom.extract_scan_planes(
             odo_body, pts_valid, params.voxel_size, params.min_eigen_value,
-            (pt0, pt1, pt2, pt3), levels=ms.levels)
+            params.plane_thre, levels=ms.levels)
     else:
         planes = odom.empty_scan_planes()
     res = odom.iekf_update(x, st.m, odo_body, odo_var, pts_valid, planes,

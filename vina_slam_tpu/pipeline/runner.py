@@ -231,14 +231,25 @@ class SlamRunner:
             scan_idx=self.win_base + self.win_count)
         self._traj_base = len(self.traj)
         self._fetched = 0
+        self._cfgs = self.fused_static_cfgs()
+
+    def fused_static_cfgs(self):
+        """STRUCTURE-only static tuple of the fused step; float tuning knobs
+        travel as traced args (fused_args tail) so profiles differing only in
+        tuning share one compiled program (plane gates are traced via params)."""
         o, lb = self.cfg.odometry, self.cfg.local_ba
         use_normal = bool(lb.use_normal)
-        self._cfgs = (float(o.down_size), float(o.dept_err), float(o.beam_err),
-                      bool(self.cfg.general.if_BA), int(self.npad_map),
-                      *[float(v) for v in np.asarray(self.params.plane_thre)],
-                      float(o.min_eigen_value),
-                      3 if use_normal else 10, use_normal,
-                      bool(o.use_vnc))
+        return (bool(self.cfg.general.if_BA), int(self.npad_map),
+                3 if use_normal else 10, use_normal,
+                bool(o.use_vnc))
+
+    def fused_program_key(self):
+        """Everything that selects a compiled fused-step program: two
+        SlamRunners with equal keys reuse ONE XLA executable (given equal
+        scan/IMU pad buckets). The six shipped profiles collapse to two keys
+        (max_layer 2 vs 3); see tests/test_lifecycle.py."""
+        return (self.ms, self.W, self.cfg.tpu.max_voxels_ba,
+                self.fused_static_cfgs())
 
     def fused_args(self, frame: Frame, imu_bucket: int | None = None):
         """Host-side packaging of one frame into steady_step's positional
@@ -289,6 +300,9 @@ class SlamRunner:
             jnp.asarray(self.cfg.ext_R), jnp.asarray(self.cfg.ext_p),
             jnp.asarray(float(self.imupre_scale_gravity)),
             jnp.asarray(float(self.cfg.local_ba.imu_coef)),
+            jnp.asarray(float(self.cfg.odometry.down_size), jnp.float32),
+            jnp.asarray(float(self.cfg.odometry.dept_err), jnp.float32),
+            jnp.asarray(float(self.cfg.odometry.beam_err), jnp.float32),
         )
 
     def _steady_fused(self, frame: Frame):
