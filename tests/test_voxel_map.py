@@ -385,3 +385,115 @@ class TestPackedSymmetric:
         got = np.asarray(vm.sym6_quadform(
             jnp.asarray(p21), tuple(jnp.asarray(j[:, a]) for a in range(6))))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestChildLinks:
+    """The child_slots link walk must agree exactly with a fingerprint-probe
+    walk (the original _walk), across subdivision waves, late child creation,
+    and the evict rebuild."""
+
+    @staticmethod
+    def _walk_probe(m, root_coords, wld, par, ms):
+        """Original probe-based descent as the oracle (absent children map
+        to -1 for comparison; the link walk never reports -2)."""
+        key0 = vh.encode(0, root_coords)
+        slot = vh.find_slots_fp(m.fkeys, key0, ms.probe)
+        coords = root_coords
+        level = jnp.zeros(wld.shape[:-1], jnp.int32)
+        for l in range(1, ms.levels):
+            edge = par.voxel_size / (2.0 ** (l - 1))
+            ok = slot >= 0
+            split = ok & (m.state[jnp.maximum(slot, 0)] == 1)
+            center = (coords.astype(jnp.float32) + 0.5) * edge
+            oct_up = (wld > center).astype(jnp.int32)
+            child_coords = 2 * coords + oct_up
+            ckey = vh.encode(l, child_coords)
+            cslot = vh.find_slots_fp(m.fkeys, ckey, ms.probe)
+            slot = jnp.where(split, cslot, slot)
+            coords = jnp.where(split[..., None], child_coords, coords)
+            level = jnp.where(split, l, level)
+        return slot, level, coords
+
+    def _assert_walks_agree(self, m, par, queries):
+        root = vh.coords_of(queries, par.voxel_size)
+        s1, l1, c1 = vm._walk(m, root, queries, par, MS)
+        s0, l0, c0 = self._walk_probe(m, root, queries, par, MS)
+        np.testing.assert_array_equal(np.asarray(s1),
+                                      np.maximum(np.asarray(s0), -1))
+        hit = np.asarray(s0) >= 0
+        np.testing.assert_array_equal(np.asarray(l1)[hit], np.asarray(l0)[hit])
+        np.testing.assert_array_equal(np.asarray(c1)[hit], np.asarray(c0)[hit])
+
+    def _assert_invariant(self, m):
+        occ = np.asarray(m.keys) != np.int64(vh.EMPTY_KEY)
+        st = np.asarray(m.state)
+        rows = np.asarray(m.child_slots)
+        # leaves (and free rows) carry all -1; split rows carry no -1
+        assert (rows[occ & (st == 0)] == -1).all()
+        assert (rows[~occ] == -1).all()
+        assert (rows[occ & (st == 1)] != -1).all()
+        # every linked child really is the child (level/coords match)
+        lv = np.asarray(m.vox_level)
+        crd = np.asarray(m.vox_coords)
+        for r in np.nonzero(occ & (st == 1))[0]:
+            for o in range(8):
+                cs = rows[r, o]
+                if cs < 0:
+                    continue
+                assert lv[cs] == lv[r] + 1
+                np.testing.assert_array_equal(
+                    crd[cs] >> 1, crd[r])
+                assert ((crd[cs][0] & 1) * 4 + (crd[cs][1] & 1) * 2
+                        + (crd[cs][2] & 1)) == o
+
+    def test_link_walk_matches_probe_walk(self):
+        r = np.random.default_rng(7)
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        # frame 1: a plane (planar voxels stay leaves) + a corner cloud
+        # (forces subdivision down the levels)
+        plane = TestRecut._plane_cloud(TestRecut(), 3000, [0, 0, 1], 0.5)
+        corner = np.stack([
+            np.abs(r.normal(0, 0.6, 2000)),
+            np.abs(r.normal(0, 0.6, 2000)),
+            np.abs(r.normal(0, 0.6, 2000))], -1)
+        pts1 = np.concatenate([plane, corner]).astype(np.float32)
+        win = jnp.asarray(pts1)[None]
+        valid = jnp.ones((1, len(pts1)), bool)
+        m, pool, _, _ = vm.recut(m, pool, win, valid, par, MS, 1,
+                                 jnp.asarray(0.0, jnp.float32))
+        self._assert_invariant(m)
+
+        # frame 2 reaches NEW territory of already-split parents (late child
+        # creation must link correctly)
+        pts2 = (corner * np.asarray([-1.0, 1.0, 1.0])).astype(np.float32)
+        m, pool, _, _ = vm.recut(m, pool, jnp.asarray(pts2)[None],
+                                 jnp.ones((1, len(pts2)), bool), par, MS, 1,
+                                 jnp.asarray(0.0, jnp.float32))
+        self._assert_invariant(m)
+
+        qs = jnp.asarray(np.concatenate([
+            pts1, pts2,
+            r.uniform(-4, 4, (2000, 3)).astype(np.float32)]))
+        self._assert_walks_agree(m, par, qs)
+
+        # the VNC neighbor form: queries walked under OFFSET roots (clamped
+        # octant descent) — exercise _walk with root != query's own root
+        off = jnp.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, -1]],
+                          jnp.int32)
+        sub = qs[:512]
+        root = vh.coords_of(sub, par.voxel_size)
+        for k in range(4):
+            ro = root + off[k]
+            s1, l1, c1 = vm._walk(m, ro, sub, par, MS)
+            s0, l0, c0 = self._walk_probe(m, ro, sub, par, MS)
+            np.testing.assert_array_equal(np.asarray(s1),
+                                          np.maximum(np.asarray(s0), -1))
+
+        # evict rebuild: drop nothing (dist large) -> same structure, moved
+        # slots; links must be rebuilt consistently
+        m2, pool2 = vm.evict(m, pool, jnp.asarray(1000.0, jnp.float32), par,
+                             MS, dist=1e6)
+        self._assert_invariant(m2)
+        self._assert_walks_agree(m2, par, qs)

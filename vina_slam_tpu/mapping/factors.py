@@ -66,7 +66,8 @@ class BAFactors(NamedTuple):
 
 @partial(jax.jit, static_argnames=("ms", "V", "W"))
 def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
-                    params: MapParams, ms: MapStatic, V: int, W: int) -> BAFactors:
+                    params: MapParams, ms: MapStatic, V: int, W: int,
+                    win_count=None) -> BAFactors:
     """tras_opt analog (octree.cpp:498-549): gather every active planar leaf
     (ratio gate lambda0/lambda1 <= 0.12, with window data) into padded
     factor arrays.
@@ -82,9 +83,13 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
     flat_slots = slots.reshape(-1)
     flat_valid = (win_valid & (slots >= 0)).reshape(-1)
     sid = jnp.where(flat_valid, flat_slots, C)
-    # f32 accumulate: integer segment_sum takes a slow scatter path on TPU
-    win_count = jax.ops.segment_sum(
-        flat_valid.astype(jnp.float32), sid, num_segments=C + 1)[:C]
+    if win_count is None:
+        # f32 accumulate: integer segment_sum takes a slow scatter path on
+        # TPU. The fused step passes recut's final-wave counts instead
+        # (recut(..., return_counts=True)) — same (slots, valid) set, so
+        # this full-capacity segment sum is skipped there.
+        win_count = jax.ops.segment_sum(
+            flat_valid.astype(jnp.float32), sid, num_segments=C + 1)[:C]
 
     ratio = m.eig_val[:, 0] / jnp.maximum(m.eig_val[:, 1], 1e-20)
     cond = (

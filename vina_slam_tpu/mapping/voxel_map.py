@@ -164,6 +164,20 @@ class VoxelMap(NamedTuple):
                                # int64 key decodes are u32-pair emulated and
                                # cost ~4 ms per 40k-point gather+decode
     vox_coords: jnp.ndarray    # (C, 3) i32 decoded key coords
+    child_slots: jnp.ndarray   # (C, 8) i32 child-link row, octant-indexed
+                               # (oct = (cx&1)<<2 | (cy&1)<<1 | (cz&1)):
+                               # -1 everywhere on a LEAF, and on a SPLIT
+                               # node -2 for absent children / the child's
+                               # table slot otherwise. The octree walk
+                               # (_walk) reads ONE 8-lane row per level in
+                               # place of a state gather plus a 3-row
+                               # fingerprint probe of the child key (~2x
+                               # fewer gathers per descent). Invariant:
+                               # state==1 <=> the row holds no -1 lane;
+                               # maintained at split (recut refit), child
+                               # creation (_create_level), and table
+                               # rebuild (evict / shard_table via
+                               # rebuild_child_links)
     meta_pack: jnp.ndarray     # (C, 8) i32 gather-packed hot row
                                # [level, cx, cy, cz, state, 0, 0, 0]: the
                                # verify/slot_meta chains read one contiguous
@@ -211,6 +225,7 @@ def make_map(ms: MapStatic) -> VoxelMap:
         jour=jnp.zeros(C, f32),
         vox_level=jnp.full(C, -1, jnp.int32),
         vox_coords=jnp.zeros((C, 3), jnp.int32),
+        child_slots=jnp.full((C, 8), -1, jnp.int32),
         meta_pack=_meta_rows(jnp.full(C, -1, jnp.int32),
                              jnp.zeros((C, 3), jnp.int32),
                              jnp.zeros(C, jnp.int32)),
@@ -254,12 +269,24 @@ def slot_meta(m: VoxelMap, slots, params: MapParams):
 
 # ------------------------------------------------------------ descent walk
 
+def _octant(coords):
+    """Octant lane index of a child's coords within its parent's row."""
+    return ((coords[..., 0] & 1) * 4 + (coords[..., 1] & 1) * 2
+            + (coords[..., 2] & 1))
+
+
 def _walk(m: VoxelMap, root_coords, wld, params: MapParams, ms: MapStatic):
     """Descend from given root coords through split nodes toward the point.
 
     Octant choice replicates OctoTree::match (octree.cpp:583-591): compare
     the query to the CURRENT node's center, even if the query lies outside
     the node (the 27-neighbor VNC search relies on this clamping behavior).
+
+    Each level reads ONE 8-lane child_slots row and selects the octant lane
+    (a pure VPU 8-way select) — the earlier form paid a state gather plus a
+    3-row fingerprint probe of the child key per level. The row encodes the
+    split decision too: a -1 lane means LEAF (keep the node), -2 means split
+    with this child absent (no leaf), >= 0 is the child's slot.
 
     Returns (slot, level, coords): slot==-1 if the root or a required child
     is missing."""
@@ -270,13 +297,16 @@ def _walk(m: VoxelMap, root_coords, wld, params: MapParams, ms: MapStatic):
     for l in range(1, ms.levels):
         edge = params.voxel_size / (2.0 ** (l - 1))
         ok = slot >= 0
-        split = ok & (m.state[jnp.maximum(slot, 0)] == 1)
+        crow = m.child_slots[jnp.maximum(slot, 0)]          # (..., 8)
         center = (coords.astype(jnp.float32) + 0.5) * edge
         oct_up = (wld > center).astype(jnp.int32)
         child_coords = 2 * coords + oct_up
-        ckey = vh.encode(l, child_coords)
-        cslot = vh.find_slots_fp(m.fkeys, ckey, ms.probe)
-        slot = jnp.where(split, cslot, slot)
+        oct = _octant(child_coords)
+        cslot = jnp.full_like(slot, -1)
+        for k in range(8):
+            cslot = jnp.where(oct == k, crow[..., k], cslot)
+        split = ok & (cslot != -1)
+        slot = jnp.where(split, jnp.maximum(cslot, -1), slot)
         coords = jnp.where(split[..., None], child_coords, coords)
         level = jnp.where(split, l, level)
     return slot, level, coords
@@ -288,9 +318,13 @@ def descend(m: VoxelMap, wld, params: MapParams, ms: MapStatic):
     return _walk(m, root, wld, params, ms)
 
 
-def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
+def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic,
+                  parent_slots=None):
     """Create missing entries for `keys` where need_mask; returns
-    (map, created_any).
+    (map, created_any). When `parent_slots` is given (child creation), each
+    placed entry is also linked into its parent's child_slots row — the
+    octant comes from the created key's own coords, so duplicate winners
+    write the same (row, lane, value).
 
     No dedup sort: insert_keys' claim-and-verify converges with duplicate
     keys (duplicates see their key present and finish), and sorting 10^5
@@ -307,8 +341,13 @@ def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
     (~150 MB of per-voxel state) cost ~6 ms per skipped call."""
     need_any = jnp.any(need_mask)
 
+    link_parents = parent_slots is not None
+
     def do(op):
-        tk, fk, jr, nd, vl, vc, mp = op
+        # cs rides the cond ONLY when linking (an XLA cond's untaken
+        # identity branch copies its carries — see the docstring note)
+        (tk, fk, jr, nd, vl, vc, mp), cs = op[:7], (op[7] if link_parents
+                                                    else None)
         nz = vh.compact_indices(need_mask, ms.max_new, -1)
         sub_valid = nz >= 0
         sub_keys = keys[jnp.maximum(nz, 0)]
@@ -329,14 +368,23 @@ def _create_level(m: VoxelMap, keys, need_mask, jour, ms: MapStatic):
         vc = vc.at[tgt].set(crd_new, mode="drop")
         mp = mp.at[tgt].set(
             _meta_rows(lv_new, crd_new, jnp.zeros_like(lv_new)), mode="drop")
+        if link_parents:
+            pr = parent_slots[jnp.maximum(nz, 0)]
+            link = placed & (pr >= 0)
+            prow = jnp.where(link, pr, cs.shape[0])
+            cs = cs.at[prow, _octant(crd_new)].set(slots, mode="drop")
+            return new_tk, fk, jr, nd, vl, vc, mp, cs
         return new_tk, fk, jr, nd, vl, vc, mp
 
-    tk, fk, jr, nd, vl, vc, mp = jax.lax.cond(
-        need_any, do, lambda op: op,
-        (m.keys, m.fkeys, m.jour, m.n_dropped, m.vox_level, m.vox_coords,
-         m.meta_pack))
-    return m._replace(keys=tk, fkeys=fk, jour=jr, n_dropped=nd,
-                      vox_level=vl, vox_coords=vc, meta_pack=mp), need_any
+    ops = (m.keys, m.fkeys, m.jour, m.n_dropped, m.vox_level, m.vox_coords,
+           m.meta_pack) + ((m.child_slots,) if link_parents else ())
+    out = jax.lax.cond(need_any, do, lambda op: op, ops)
+    tk, fk, jr, nd, vl, vc, mp = out[:7]
+    m = m._replace(keys=tk, fkeys=fk, jour=jr, n_dropped=nd,
+                   vox_level=vl, vox_coords=vc, meta_pack=mp)
+    if link_parents:
+        m = m._replace(child_slots=out[7])
+    return m, need_any
 
 
 def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
@@ -362,7 +410,8 @@ def assign_insert(m: VoxelMap, wld, valid, params: MapParams, ms: MapStatic,
         child_coords = 2 * coords + (wld > center).astype(jnp.int32)
         ckey = vh.encode(l, child_coords)
         cslot = vh.find_slots_fp(m.fkeys, ckey, ms.probe)
-        m, created = _create_level(m, ckey, split & (cslot == -1), jour, ms)
+        m, created = _create_level(m, ckey, split & (cslot == -1), jour, ms,
+                                   parent_slots=jnp.where(split, slot, -1))
         cslot = jax.lax.cond(
             created, lambda: vh.find_slots_fp(m.fkeys, ckey, ms.probe),
             lambda: cslot)
@@ -545,10 +594,10 @@ def _plane_judge(eig, level, params: MapParams):
 
 # ----------------------------------------------------------------- recut
 
-@partial(jax.jit, static_argnames=("ms", "win", "debug"))
+@partial(jax.jit, static_argnames=("ms", "win", "debug", "return_counts"))
 def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
           ms: MapStatic, win: int, jour, cached=None, win_var=None,
-          new_mask=None, debug: bool = False):
+          new_mask=None, debug: bool = False, return_counts: bool = False):
     """Re-fit planes / subdivide after pose updates.
 
     cached: optional (W, Np) i32 leaf slots from the previous recut (-1 =
@@ -651,13 +700,22 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
             state=jnp.where(want_split, 1, m.state),
             meta_pack=m.meta_pack.at[:, 4].set(
                 jnp.where(want_split, 1, m.state)),
+            # a fresh split's children don't exist yet: flip the whole link
+            # row from leaf (-1) to split-with-absent-children (-2); child
+            # creations fill the lanes (_create_level)
+            child_slots=jnp.where(want_split[:, None], jnp.int32(-2),
+                                  m.child_slots),
         )
         # another wave is needed if anything split OR some valid points are
         # still slotless but placeable (child creation is throttled to
         # max_new candidates per pass; stragglers get their children next
         # wave; slot==-2 probe-window-full points are dropped, not retried)
         unfinished = jnp.any(want_split) | jnp.any(flat_v & (slots == -1))
-        return m, lv_pt, unfinished
+        # wN: per-slot window point counts of THIS wave's assignment — the
+        # last wave's vector is exactly extract_factors' win_count, so the
+        # fused step reuses it instead of re-running a full-capacity
+        # segment sum (return_counts)
+        return m, lv_pt, unfinished, wN
 
     def assign_cached(m, prev):
         """Verify a previous flat slot assignment (one gather + key compare,
@@ -711,7 +769,7 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
             m = add_bf(m, sel0, rows0 >= 0, slots[sel0])
     else:
         m, slots = assign_cached(m, cached.reshape(-1))
-    m, levels_pt, unfinished = refit(m, slots)
+    m, levels_pt, unfinished, win_n = refit(m, slots)
 
     # Later waves run only while the previous one split a node or left
     # stragglers; a while_loop (not a chain of conds) because XLA aliases
@@ -723,25 +781,28 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     # pool). levels+1 passes cover a full split cascade plus a straggler
     # pass.
     def w_cond(carry):
-        return carry[5] & (carry[4] < ms.levels + 1)
+        return carry[6] & (carry[4] < ms.levels + 1)
 
     def w_body(carry):
-        mm, pp, s, lv, w, _ = carry
+        mm, pp, s, lv, w, _, _ = carry
         mm, pp = _pool_fix(mm, pp, params, ms, jour)
         mm, s = assign_cached(mm, s)
-        mm, lv, unf = refit(mm, s)
-        return mm, pp, s, lv, w + 1, unf
+        mm, lv, unf, wn = refit(mm, s)
+        return mm, pp, s, lv, w + 1, wn, unf
 
-    m, pool, slots, levels_pt, waves, _ = jax.lax.while_loop(
+    m, pool, slots, levels_pt, waves, win_n, _ = jax.lax.while_loop(
         w_cond, w_body,
-        (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), unfinished))
+        (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), win_n,
+         unfinished))
 
+    out = (m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np))
     if debug:
         n_lost = jnp.sum(flat_v & (slots == -1))
         n_full = jnp.sum(flat_v & (slots == -2))
-        return (m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np),
-                (waves, n_lost, n_full))
-    return m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np)
+        out = out + ((waves, n_lost, n_full),)
+    if return_counts:
+        out = out + (win_n,)
+    return out
 
 
 # ----------------------------------------------------------------- match
@@ -1027,6 +1088,24 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
 
 # ----------------------------------------------------------------- evict
 
+def rebuild_child_links(m: VoxelMap, ms: MapStatic) -> VoxelMap:
+    """Derive the child_slots rows from scratch (table rebuilds: evict,
+    shard_table — slot indices move, so stored links go stale). Split nodes
+    start as all -2, then every level>=1 entry links itself into its
+    parent's octant lane via one parent-key probe."""
+    C = ms.capacity
+    occ = m.keys != vh.EMPTY_KEY
+    base = jnp.where((m.state == 1) & occ, jnp.int32(-2), jnp.int32(-1))
+    child = jnp.broadcast_to(base[:, None], (C, 8))
+    is_child = occ & (m.vox_level >= 1)
+    pkey = vh.encode(jnp.maximum(m.vox_level - 1, 0), m.vox_coords >> 1)
+    ps = vh.find_slots_fp(m.fkeys, pkey, ms.probe)
+    rows = jnp.where(is_child & (ps >= 0), ps, C)
+    child = child.at[rows, _octant(m.vox_coords)].set(
+        jnp.arange(C, dtype=jnp.int32), mode="drop")
+    return m._replace(child_slots=child)
+
+
 @partial(jax.jit, static_argnames=("ms", "dist"))
 def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic,
           dist: float | None = None):
@@ -1069,9 +1148,12 @@ def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic
         eig_val=move(m.eig_val), eig_vec=move(m.eig_vec),
         last_num=move(m.last_num), jour=move(m.jour),
         vox_level=vox_level, vox_coords=vox_coords2,
+        # every slot index moved: derive the link rows from scratch
+        child_slots=jnp.zeros_like(m.child_slots),
         meta_pack=_meta_rows(vox_level, vox_coords2, state2),
         n_dropped=m.n_dropped,
     )
+    m2 = rebuild_child_links(m2, ms)
     # pool entries of evicted voxels die with them; refresh cached slots
     pslot, _, _ = descend(m2, pool.pts, params, ms)
     pool = pool._replace(valid=pool.valid & (pslot >= 0),

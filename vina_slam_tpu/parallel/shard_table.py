@@ -94,8 +94,12 @@ def shard_table(m: vm.VoxelMap, ms_local: vm.MapStatic, D: int):
             fkeys=loc.fkeys.at[tgt].set(vh.fingerprint32(keys_d), mode="drop"),
             **{f: place(getattr(loc, f), getattr(m, f))
                for f in vm.VoxelMap._fields
-               if f not in ("keys", "fkeys", "n_dropped")},
+               if f not in ("keys", "fkeys", "n_dropped", "child_slots")},
         )
+        # child links hold SLOT INDICES of the source table; re-derive them
+        # against the local one (a node's whole subtree shares its root's
+        # owner, so every parent is present locally)
+        loc = vm.rebuild_child_links(loc, ms_local)
         n_over = (jnp.sum(mine.astype(jnp.int32)) - jnp.sum(sel & placed))
         shards.append(loc)
         dropped.append(n_over)
