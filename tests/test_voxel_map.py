@@ -497,3 +497,34 @@ class TestChildLinks:
                              MS, dist=1e6)
         self._assert_invariant(m2)
         self._assert_walks_agree(m2, par, qs)
+
+
+class TestRecutCounts:
+    def test_extract_reuses_recut_window_counts(self):
+        """recut(return_counts=True)'s final-wave per-slot window counts must
+        reproduce extract_factors' own segment sum exactly (the fused step
+        passes them to skip that full-capacity reduction)."""
+        from vina_slam_tpu.mapping import factors as fx
+
+        r = np.random.default_rng(5)
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        W, Np = 3, 1024
+        base = TestRecut._plane_cloud(TestRecut(), Np, [0, 0, 1], 0.5)
+        win = jnp.asarray(np.stack([base + [0.01 * k, 0, 0] for k in range(W)]),
+                          jnp.float32)
+        valid = jnp.asarray(r.random((W, Np)) > 0.1)
+        m, pool, slots, _, win_n = vm.recut(
+            m, pool, win, valid, par, MS, W, jnp.asarray(0.0, jnp.float32),
+            return_counts=True)
+
+        Rs = jnp.tile(jnp.eye(3, dtype=jnp.float64)[None], (W, 1, 1))
+        ps = jnp.zeros((W, 3), jnp.float64)
+        f_own = fx.extract_factors(m, slots, win, valid, Rs, ps, par, MS,
+                                   V=64, W=W)
+        f_pre = fx.extract_factors(m, slots, win, valid, Rs, ps, par, MS,
+                                   V=64, W=W, win_count=win_n)
+        assert int(f_own.n_valid) == int(f_pre.n_valid) > 0
+        for a, b in zip(f_own, f_pre):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
