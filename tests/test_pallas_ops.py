@@ -6,6 +6,7 @@ executes the same kernel logic with jnp semantics — enough to lock the
 index math, masking, and overflow behavior against the XLA reference path.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -46,3 +47,38 @@ def test_compact_indices_dispatch_agrees():
         a = np.asarray(vh.compact_indices(mask, size, n))
         b = np.asarray(compact_indices_tpu(mask, size, n))
         np.testing.assert_array_equal(a, b)
+
+
+class TestSegmentSum:
+    """pallas_segsum experiment: exact agreement with jax.ops.segment_sum
+    (interpret mode on the CPU backend; measured on TPU before any wiring)."""
+
+    def _check(self, n, k, s, seed):
+        import jax.numpy as jnp
+
+        from vina_slam_tpu.ops.pallas_segsum import segment_sum_tpu
+
+        r = np.random.default_rng(seed)
+        cols = jnp.asarray(r.normal(size=(n, k)).astype(np.float32))
+        # include out-of-range ids (the drop convention) and heavy collisions
+        sid = jnp.asarray(r.integers(0, s + 3, size=n).astype(np.int32))
+        want = jax.ops.segment_sum(cols, sid, num_segments=s + 3)[:s]
+        got = segment_sum_tpu(cols, sid, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_matches_segment_sum(self):
+        self._check(n=3000, k=10, s=257, seed=0)
+
+    def test_single_chunk_and_wide(self):
+        self._check(n=1000, k=45, s=64, seed=1)
+
+    def test_all_dropped(self):
+        import jax.numpy as jnp
+
+        from vina_slam_tpu.ops.pallas_segsum import segment_sum_tpu
+
+        cols = jnp.ones((100, 4), jnp.float32)
+        sid = jnp.full((100,), 50, jnp.int32)
+        got = segment_sum_tpu(cols, sid, 50)
+        assert float(jnp.abs(got).sum()) == 0.0
