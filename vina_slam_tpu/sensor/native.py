@@ -21,6 +21,18 @@ def _load():
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(here, "csrc", "libvina_host.so")
     if not os.path.exists(path):
+        # self-build once, best-effort: the Python fallbacks are exact but
+        # the Velodyne unwrap is a sequential per-point state machine
+        # (~10^5 Python iterations/scan) — production must run native
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", os.path.join(here, "csrc"),
+                            "libvina_host.so"],
+                           capture_output=True, timeout=300, check=False)
+        except Exception:
+            pass
+    if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
     i64, f32p, f64p, u8p = (
