@@ -37,6 +37,9 @@ for i, f in enumerate(frames):
         break
 
 print("stats:", vars(runner.stats))
+# in fused mode the modular fields are _enter_fused()-time snapshots whose
+# buffers the donated step has already consumed — mirror the live state back
+runner.sync_from_fused()
 print("map entries:", int((np.asarray(runner.map.keys) != -1).sum()),
       "dropped:", int(runner.map.n_dropped))
 traj = runner.trajectory()

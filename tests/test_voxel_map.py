@@ -528,3 +528,38 @@ class TestRecutCounts:
         assert int(f_own.n_valid) == int(f_pre.n_valid) > 0
         for a, b in zip(f_own, f_pre):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("thick", [0.02, 0.8])
+    def test_extract_reuses_recut_frame_moments(self, thick):
+        """recut(return_frame_moments=True)'s per-(frame, slot) moment table
+        must reproduce the standalone extract_factors payload, so the fused
+        step's extraction does no per-point work at all. thick=0.8 makes the
+        cloud non-planar so split waves run and accf flows through the
+        while_loop carry."""
+        from vina_slam_tpu.mapping import factors as fx
+
+        r = np.random.default_rng(7)
+        m = vm.make_map(MS)
+        pool = vm.make_pool(MS)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        W, Np = 3, 1024
+        base = TestRecut._plane_cloud(TestRecut(), Np, [0, 0, 1], thick)
+        win = jnp.asarray(
+            np.stack([base + [0.01 * k, 0, 0] for k in range(W)]),
+            jnp.float32)
+        valid = jnp.asarray(r.random((W, Np)) > 0.1)
+        m, pool, slots, _, win_n, accf = vm.recut(
+            m, pool, win, valid, par, MS, W, jnp.asarray(0.0, jnp.float32),
+            return_counts=True, return_frame_moments=True)
+
+        Rs = jnp.tile(jnp.eye(3, dtype=jnp.float64)[None], (W, 1, 1))
+        ps = jnp.zeros((W, 3), jnp.float64)
+        f_own = fx.extract_factors(m, slots, win, valid, Rs, ps, par, MS,
+                                   V=64, W=W)
+        f_fm = fx.extract_factors(m, slots, win, valid, Rs, ps, par, MS,
+                                  V=64, W=W, win_count=win_n,
+                                  frame_moments=accf)
+        assert int(f_own.n_valid) == int(f_fm.n_valid) > 0
+        for name, a, b in zip(f_own._fields, f_own, f_fm):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6, err_msg=name)

@@ -67,7 +67,7 @@ class BAFactors(NamedTuple):
 @partial(jax.jit, static_argnames=("ms", "V", "W"))
 def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
                     params: MapParams, ms: MapStatic, V: int, W: int,
-                    win_count=None) -> BAFactors:
+                    win_count=None, frame_moments=None) -> BAFactors:
     """tras_opt analog (octree.cpp:498-549): gather every active planar leaf
     (ratio gate lambda0/lambda1 <= 0.12, with window data) into padded
     factor arrays.
@@ -77,19 +77,29 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
     moments accumulate voxel-center-relative in f32 (|rel| ~ voxel edge, so
     centralizing is cancellation-free — no emulated-f64 segment sums), then
     the exact covariant transform recovers the body-frame central moments:
-    P_c,body = R_i^T P_c,world R_i, mean_body = R_i^T (mean_world - p_i)."""
+    P_c,body = R_i^T P_c,world R_i, mean_body = R_i^T (mean_world - p_i).
+
+    frame_moments: optional (W, C, 10) per-(frame, slot) moment columns from
+    recut's final refit wave (recut(..., return_frame_moments=True)) — the
+    same quantities this function would accumulate, so the whole per-point
+    pipeline (slot_meta gather, outer products, full-window segment-sum)
+    collapses to a (V, W, 10) gather of selected rows."""
     C = ms.capacity
 
     flat_slots = slots.reshape(-1)
     flat_valid = (win_valid & (slots >= 0)).reshape(-1)
-    sid = jnp.where(flat_valid, flat_slots, C)
     if win_count is None:
-        # f32 accumulate: integer segment_sum takes a slow scatter path on
-        # TPU. The fused step passes recut's final-wave counts instead
-        # (recut(..., return_counts=True)) — same (slots, valid) set, so
-        # this full-capacity segment sum is skipped there.
-        win_count = jax.ops.segment_sum(
-            flat_valid.astype(jnp.float32), sid, num_segments=C + 1)[:C]
+        if frame_moments is not None:
+            win_count = frame_moments[:, :, 9].sum(axis=0)
+        else:
+            # f32 accumulate: integer segment_sum takes a slow scatter path
+            # on TPU. The fused step passes recut's final-wave counts
+            # instead (recut(..., return_counts=True)) — same
+            # (slots, valid) set, so this full-capacity segment sum is
+            # skipped there.
+            sid = jnp.where(flat_valid, flat_slots, C)
+            win_count = jax.ops.segment_sum(
+                flat_valid.astype(jnp.float32), sid, num_segments=C + 1)[:C]
 
     ratio = m.eig_val[:, 0] / jnp.maximum(m.eig_val[:, 1], 1e-20)
     cond = (
@@ -100,25 +110,34 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
     vvalid = idx >= 0
     safe = jnp.maximum(idx, 0)
 
-    # inverse index slot -> compact position
-    inv = jnp.full(C + 1, -1, jnp.int32)
-    inv = inv.at[safe].set(
-        jnp.where(vvalid, jnp.arange(V, dtype=jnp.int32), -1), mode="drop")
+    from vina_slam_tpu.core.pointcov import sym3_unpack
 
-    frame_id = jnp.broadcast_to(
-        jnp.arange(W)[:, None], slots.shape).reshape(-1)
-    pos = inv[jnp.where(flat_valid, flat_slots, C)]
-    seg = jnp.where(flat_valid & (pos >= 0), pos * W + frame_id, V * W)
-    from vina_slam_tpu.mapping.voxel_map import _outer9
-    _, centers_pt, _ = slot_meta(m, flat_slots, params)
-    rel = (win_pts_w.reshape(-1, 3) - centers_pt).astype(jnp.float32)
-    w = (seg < V * W).astype(jnp.float32)
-    p = rel * w[:, None]
-    flat = jnp.concatenate([_outer9(p), p, w[:, None]], axis=-1)
-    acc = jax.ops.segment_sum(flat, seg, num_segments=V * W + 1)[: V * W]
-    Pr = acc[:, 0:9].reshape(V, W, 3, 3)
-    vr = acc[:, 9:12].reshape(V, W, 3)
-    Nb = acc[:, 12].reshape(V, W)
+    if frame_moments is not None:
+        sub = jnp.swapaxes(jnp.take(frame_moments, safe, axis=1), 0, 1)
+        Pr = sym3_unpack(sub[..., 0:6])        # (V, W, 3, 3)
+        vr = sub[..., 6:9]
+        Nb = sub[..., 9]
+    else:
+        # inverse index slot -> compact position
+        inv = jnp.full(C + 1, -1, jnp.int32)
+        inv = inv.at[safe].set(
+            jnp.where(vvalid, jnp.arange(V, dtype=jnp.int32), -1),
+            mode="drop")
+
+        frame_id = jnp.broadcast_to(
+            jnp.arange(W)[:, None], slots.shape).reshape(-1)
+        pos = inv[jnp.where(flat_valid, flat_slots, C)]
+        seg = jnp.where(flat_valid & (pos >= 0), pos * W + frame_id, V * W)
+        from vina_slam_tpu.mapping.voxel_map import _outer9
+        _, centers_pt, _ = slot_meta(m, flat_slots, params)
+        rel = (win_pts_w.reshape(-1, 3) - centers_pt).astype(jnp.float32)
+        w = (seg < V * W).astype(jnp.float32)
+        p = rel * w[:, None]
+        flat = jnp.concatenate([_outer9(p), p, w[:, None]], axis=-1)
+        acc = jax.ops.segment_sum(flat, seg, num_segments=V * W + 1)[: V * W]
+        Pr = acc[:, 0:9].reshape(V, W, 3, 3)
+        vr = acc[:, 9:12].reshape(V, W, 3)
+        Nb = acc[:, 12].reshape(V, W)
 
     _, centers, _ = slot_meta(m, safe, params)
     nrm = m.plane_normal[safe].astype(jnp.float32)
@@ -133,8 +152,6 @@ def extract_factors(m: VoxelMap, slots, win_pts_w, win_valid, Rs, ps,
     Pc_b = sandwich(RT[None], Pc_w)                       # R^T Pc R
     mean_w = mean_rel + centers[:, None, :] - p32[None, :, :]
     mean_b = bvm(mean_w, R32[None])                       # R^T mean
-
-    from vina_slam_tpu.core.pointcov import sym3_unpack
 
     return BAFactors(
         Pb=Pc_b, vb=mean_b,

@@ -460,6 +460,27 @@ def _seg_cols(slots, rel_pts, valid, C):
                                num_segments=C + 1)[:C].T
 
 
+def _seg_cols_frames(slots, rel_pts, valid, C, W):
+    """Per-FRAME _seg_cols: (W, C, 10) central-moment columns, one (C, 10)
+    table per window frame. Same scattered row volume as _seg_cols (the
+    segment ids are just finer), so recut's final wave can hand factor
+    extraction its per-(voxel, frame) moments for free — extract_factors'
+    own full-window gather + outer-product + segment-sum disappears.
+    Rows flatten as (W*Np,); the frame id is row // Np."""
+    N = slots.size
+    Np = N // W
+    ok = (valid & (slots >= 0)).reshape(-1)
+    f_id = jnp.arange(N, dtype=jnp.int32) // Np
+    sid = jnp.where(ok, f_id * C + slots.reshape(-1), W * C)
+    w = ok.astype(rel_pts.dtype)
+    p = rel_pts.reshape(-1, 3) * w[:, None]
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    cols = jnp.stack([x * x, x * y, x * z, y * y, y * z, z * z, x, y, z, w],
+                     axis=-1)
+    acc = jax.ops.segment_sum(cols, sid, num_segments=W * C + 1)[: W * C]
+    return acc.reshape(W, C, 10)
+
+
 def _bf_var(var, rel):
     """Bf_var (octree.cpp:83-92): 9x9 covariance contribution of one point to
     (6 unique second-moment entries + 3 mean entries). rel is the point in
@@ -594,10 +615,12 @@ def _plane_judge(eig, level, params: MapParams):
 
 # ----------------------------------------------------------------- recut
 
-@partial(jax.jit, static_argnames=("ms", "win", "debug", "return_counts"))
+@partial(jax.jit, static_argnames=("ms", "win", "debug", "return_counts",
+                              "return_frame_moments"))
 def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
           ms: MapStatic, win: int, jour, cached=None, win_var=None,
-          new_mask=None, debug: bool = False, return_counts: bool = False):
+          new_mask=None, debug: bool = False, return_counts: bool = False,
+          return_frame_moments: bool = False):
     """Re-fit planes / subdivide after pose updates.
 
     cached: optional (W, Np) i32 leaf slots from the previous recut (-1 =
@@ -622,7 +645,9 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     (octree.cpp:335-393). Fixed clusters come from the STORED per-slot
     arrays (kept current by margi); the pool-based redistribution runs only
     inside the split-triggered waves. Returns (map, pool, slots (W, Np),
-    levels (W, Np))."""
+    levels (W, Np)); return_counts appends the final wave's per-slot window
+    point counts (C,), return_frame_moments appends its per-(frame, slot)
+    moment columns (W, C, 10) — extract_factors' payload (frame_moments)."""
     C = ms.capacity
     W, Np, _ = win_pts_w.shape
     flat_w = win_pts_w.reshape(-1, 3)
@@ -650,7 +675,10 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     def refit(m, slots):
         lv_pt, centers, _ = slot_meta(m, slots, params)
         rel = flat_w - centers
-        acc = _seg_cols(slots, rel, flat_v, C)  # (10, C)
+        # per-(frame, slot) central-moment columns; the final wave's table
+        # IS extract_factors' per-(voxel, frame) payload (return_frame_moments)
+        accf = _seg_cols_frames(slots, rel, flat_v, C, W)  # (W, C, 10)
+        acc = accf.sum(axis=0).T                           # (10, C)
 
         # The plane refit runs DENSE over all C slots in flat-column
         # (componentwise) form: every per-slot quantity is a lane-packed
@@ -715,7 +743,7 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         # last wave's vector is exactly extract_factors' win_count, so the
         # fused step reuses it instead of re-running a full-capacity
         # segment sum (return_counts)
-        return m, lv_pt, unfinished, wN
+        return m, lv_pt, unfinished, wN, accf
 
     def assign_cached(m, prev):
         """Verify a previous flat slot assignment (one gather + key compare,
@@ -769,7 +797,7 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
             m = add_bf(m, sel0, rows0 >= 0, slots[sel0])
     else:
         m, slots = assign_cached(m, cached.reshape(-1))
-    m, levels_pt, unfinished, win_n = refit(m, slots)
+    m, levels_pt, unfinished, win_n, accf = refit(m, slots)
 
     # Later waves run only while the previous one split a node or left
     # stragglers; a while_loop (not a chain of conds) because XLA aliases
@@ -781,19 +809,19 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     # pool). levels+1 passes cover a full split cascade plus a straggler
     # pass.
     def w_cond(carry):
-        return carry[6] & (carry[4] < ms.levels + 1)
+        return carry[7] & (carry[4] < ms.levels + 1)
 
     def w_body(carry):
-        mm, pp, s, lv, w, _, _ = carry
+        mm, pp, s, lv, w, _, _, _ = carry
         mm, pp = _pool_fix(mm, pp, params, ms, jour)
         mm, s = assign_cached(mm, s)
-        mm, lv, unf, wn = refit(mm, s)
-        return mm, pp, s, lv, w + 1, wn, unf
+        mm, lv, unf, wn, af = refit(mm, s)
+        return mm, pp, s, lv, w + 1, wn, af, unf
 
-    m, pool, slots, levels_pt, waves, win_n, _ = jax.lax.while_loop(
+    m, pool, slots, levels_pt, waves, win_n, accf, _ = jax.lax.while_loop(
         w_cond, w_body,
         (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), win_n,
-         unfinished))
+         accf, unfinished))
 
     out = (m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np))
     if debug:
@@ -802,6 +830,8 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         out = out + ((waves, n_lost, n_full),)
     if return_counts:
         out = out + (win_n,)
+    if return_frame_moments:
+        out = out + (accf,)
     return out
 
 

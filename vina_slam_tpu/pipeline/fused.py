@@ -204,15 +204,16 @@ def steady_step(
     new_row = jnp.minimum(i, W - 1)
     new_mask = jnp.broadcast_to(
         (jnp.arange(W) == new_row)[:, None], win_valid.shape)
-    m, pool0, slots, _, win_n = vm.recut(
+    m, pool0, slots, _, win_n, win_accf = vm.recut(
         st.m, st.pool, win_w, win_valid, params, ms, W, st.jour,
         cached=win_slots_hint, win_var=win_var, new_mask=new_mask,
-        return_counts=True)
+        return_counts=True, return_frame_moments=True)
     win_slots = slots
     if stop_after == "recut":
         return st._replace(x=x, m=m, pool=pool0, win_slots=slots)
     factors = fx.extract_factors(m, slots, win_w, win_valid, xs.R, xs.p,
-                                 params, ms, Vmax, W, win_count=win_n)
+                                 params, ms, Vmax, W, win_count=win_n,
+                                 frame_moments=win_accf)
     if stop_after == "extract":
         return st._replace(x=x, m=m, pool=pool0, win_slots=slots,
                            win_count=win_count.astype(jnp.int32)
