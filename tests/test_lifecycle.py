@@ -122,6 +122,38 @@ class TestFusedCheckpoint:
         np.testing.assert_allclose(out[-1, 1:4], ref[-1, 1:4], atol=5e-3)
 
 
+class TestDonatedStateReadout:
+    def test_modular_views_live_after_donated_steps(self, tmp_path):
+        """The fused step donates its SteadyState, so the runner's modular
+        fields become DELETED buffers, not merely stale ones. Every exporter
+        (markers JSON, trajectory, map reads) must go through
+        sync_from_fused(); this pins the read-out path working after real
+        donated steps (the raw read crashed with 'Array has been deleted')."""
+        from vina_slam_tpu.platform.viz import save_markers_json
+        from vina_slam_tpu.sensor import synth
+        from tests.test_pipeline_e2e import small_cfg
+
+        frames, _ = synth.simulate_sequence(
+            duration=2.0, n_az=180, n_el=12, noise=0.005,
+            imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
+        r = SlamRunner(small_cfg(), npad_map=8192)
+        for f in frames:
+            r.process_frame(f)
+        assert r._fused is not None, "must be in fused (donating) mode"
+
+        r.sync_from_fused()
+        n_entries = int((np.asarray(r.map.keys) != vh.EMPTY_KEY).sum())
+        assert n_entries > 0
+        path = str(tmp_path / "markers.json")
+        save_markers_json(path, r.map, r.params)
+        import json
+        with open(path) as fh:
+            doc = json.load(fh)
+        assert doc["planes"]
+        traj = r.trajectory()
+        assert np.isfinite(traj).all()
+
+
 class TestProfileProgramSharing:
     """Profiles that differ only in float tuning must select the SAME
     compiled fused-step program (round-2 review: every profile paid its own

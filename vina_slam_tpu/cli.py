@@ -78,6 +78,8 @@ def cmd_run(args):
         np.savetxt(args.refined_out, traj, fmt="%.9f")
     if args.markers:
         from vina_slam_tpu.platform.viz import save_markers_json
+        # fused mode: runner.map is a donated (deleted) snapshot otherwise
+        runner.sync_from_fused()
         save_markers_json(args.markers, runner.map, runner.params)
     if args.live_scene:
         from vina_slam_tpu.platform.webviz import write_scene_json
