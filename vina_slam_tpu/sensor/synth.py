@@ -292,12 +292,21 @@ def simulate_scan(
     t_col = t0 + span * np.arange(n_az) / n_az
 
     pts, times = [], []
+    # a scene object (sensor/worldgen.py) casts with the ABSOLUTE column
+    # firing time so dynamic geometry moves within a sweep; a plain patch
+    # list stays on the static fast path
+    scene_cast = getattr(patches, "cast", None)
     for j in range(n_az):
         R_imu, p_imu = traj.pose(t_col[j])
         R_l = R_imu @ ext_R
         p_l = R_imu @ ext_p + p_imu
         dw = d_body[j] @ R_l.T
-        rr = raycast(np.broadcast_to(p_l, (n_el, 3)), dw, patches, max_range)
+        if scene_cast is not None:
+            rr = scene_cast(np.broadcast_to(p_l, (n_el, 3)), dw,
+                            t_col[j], max_range)
+        else:
+            rr = raycast(np.broadcast_to(p_l, (n_el, 3)), dw, patches,
+                         max_range)
         ok = np.isfinite(rr)
         if ok.any():
             pb = d_body[j][ok] * rr[ok, None]
@@ -329,6 +338,7 @@ def simulate_events(
     start_time: float = 10.0,
     static_lead: float = 1.0,
     max_range: float = 80.0,
+    el_range=(-0.35, 0.35),
 ):
     """Raw time-ordered sensor events BEFORE frame assembly: a list of
     ("imu", t, gyr, acc_gunits) and ("scan", DecodedScan) entries plus
@@ -365,7 +375,7 @@ def simulate_events(
             scan = simulate_scan(
                 traj, tau, patches, n_az=n_az, n_el=n_el, span=span,
                 ext_R=ext_R, ext_p=ext_p, noise=noise, rng=rng,
-                max_range=max_range,
+                max_range=max_range, el_range=el_range,
             )
             scan.stamp = t
             out.append(("scan", scan))
@@ -391,6 +401,7 @@ def simulate_sequence(
     start_time: float = 10.0,
     static_lead: float = 1.0,
     max_range: float = 80.0,
+    el_range=(-0.35, 0.35),
 ):
     """Full sequence: returns (frames, ground_truth) where frames come out of
     a FrameAssembler exactly as the live pipeline would see them, and
@@ -404,7 +415,7 @@ def simulate_sequence(
         patches=patches, n_az=n_az, n_el=n_el, noise=noise,
         imu_noise_gyr=imu_noise_gyr, imu_noise_acc=imu_noise_acc, seed=seed,
         ext_R=ext_R, ext_p=ext_p, start_time=start_time,
-        static_lead=static_lead, max_range=max_range)
+        static_lead=static_lead, max_range=max_range, el_range=el_range)
     asm = FrameAssembler()
     frames = []
     for ev in events:
