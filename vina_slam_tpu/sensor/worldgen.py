@@ -211,9 +211,11 @@ def yard_world(seed: int = 0, clutter: int = 150,
                                     rng.uniform(0.04, 0.15, keep.sum())))
     movers = []
     if mover:
-        movers.append(MovingBox(center0=[14.0, -1.0, 0.75],
+        # crosses the yard south-to-north through the x≈2.8 lane (clear of
+        # the containers), passing within ~3 m of the trajectory origin
+        movers.append(MovingBox(center0=[2.8, -11.0, 0.75],
                                 size=[2.0, 1.2, 1.5],
-                                velocity=[-1.5, 0.15, 0.0]))
+                                velocity=[0.0, 3.0, 0.0]))
     return Scene(patches, quadrics, movers)
 
 
