@@ -253,9 +253,18 @@ def main():
         sequence never reaches the fused steady state (init-unfriendly
         trajectory for this seed)."""
         STATE["phase"] = f"synth(seed={seed})"
-        frames, gts = synth.simulate_sequence(
-            duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
-            imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=seed)
+        if os.environ.get("BENCH_WORLD", "room") == "yard":
+            # second world family (sensor/worldgen.py): curved + cluttered
+            # outdoor yard; BENCH_MOVER=1 adds the dynamic box
+            from vina_slam_tpu.sensor import worldgen
+            frames, gts = worldgen.simulate_yard_sequence(
+                duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
+                seed=seed, mover=os.environ.get("BENCH_MOVER", "0") == "1")
+            STATE["extras"]["world"] = "yard"
+        else:
+            frames, gts = synth.simulate_sequence(
+                duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
+                imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=seed)
         # map-push bucket: the downsampled cloud is ~2-3k points at these
         # settings; 4096 halves every (W, Np) window op vs the 8192 default
         runner = SlamRunner(cfg, npad_map=4096)
