@@ -15,6 +15,7 @@
 //
 // Output: one double per line via printf("%.17g").
 
+#include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <deque>
@@ -172,6 +173,100 @@ int run_preint(FILE* f) {
   return 0;
 }
 
+int run_iekf(FILE* f) {
+  // One VNC-IEKF iteration's solver math (odometry.cpp:100-207) on
+  // PRECOMPUTED match results: the per-point point-to-plane accumulation,
+  // the VNC normal-consistency block, and the DIM-state gain/solution
+  // algebra, using the reference's own IMUST boxminus (types.hpp:77-88)
+  // and hat/Exp/Log (math.hpp). Map lookups (octree match/sigma) are
+  // fixture inputs, so this isolates exactly the estimation equations.
+  IMUST x_prop = rd_state(f);
+  IMUST x_curr = rd_state(f);
+  Eigen::Matrix<double, DIM, DIM> cov;
+  for (int i = 0; i < DIM; i++)
+    for (int j = 0; j < DIM; j++) cov(i, j) = rd(f);
+
+  Eigen::Matrix<double, 6, 6> HTH;
+  HTH.setZero();
+  Eigen::Matrix<double, 6, 1> HTz;
+  HTz.setZero();
+  Eigen::Matrix3d nnt;
+  nnt.setZero();
+  int match_num = 0;
+
+  const int n = static_cast<int>(rd(f));
+  for (int i = 0; i < n; i++) {
+    Eigen::Vector3d pnt = rd3(f);
+    int flag = static_cast<int>(rd(f));
+    Eigen::Vector3d normal = rd3(f);
+    Eigen::Vector3d center = rd3(f);
+    double sigma_d = rd(f);
+    if (!flag) continue;
+    Eigen::Matrix3d phat = hat(pnt);
+    Eigen::Vector3d wld = x_curr.R * pnt + x_curr.p;
+    double R_inv = 1.0 / (0.0005 + sigma_d);
+    double resi = normal.dot(wld - center);
+    Eigen::Matrix<double, 6, 1> jac;
+    jac.head(3) = phat * x_curr.R.transpose() * normal;
+    jac.tail(3) = normal;
+    HTH += R_inv * jac * jac.transpose();
+    HTz -= R_inv * jac * resi;
+    nnt += normal * normal.transpose();
+    match_num++;
+  }
+
+  const int s = static_cast<int>(rd(f));
+  for (int i = 0; i < s; i++) {
+    Eigen::Vector3d n_body = rd3(f);
+    double quality = rd(f);
+    double sigma_n = rd(f);
+    int found = static_cast<int>(rd(f));
+    Eigen::Vector3d n_map = rd3(f);
+    if (!found) continue;
+    n_map.normalize();
+    Eigen::Vector3d n_scan_world = (x_curr.R * n_body).normalized();
+    double dot = std::abs(n_scan_world.dot(n_map));
+    if (dot < 0.7) continue;
+    Eigen::Matrix3d S = Eigen::Matrix3d::Identity() - n_map * n_map.transpose();
+    Eigen::Vector3d r = S * n_scan_world;
+    Eigen::Matrix<double, 3, 6> J;
+    J.block<3, 3>(0, 0) = -S * x_curr.R * hat(n_body);
+    J.block<3, 3>(0, 3).setZero();
+    double w = 0.1 * quality / (sigma_n * sigma_n + 0.01);
+    if (!std::isfinite(w)) continue;
+    HTH += w * J.transpose() * J;
+    HTz -= w * J.transpose() * r;
+  }
+
+  Eigen::Matrix<double, DIM, DIM> H_T_H;
+  H_T_H.setZero();
+  H_T_H.block<6, 6>(0, 0) = HTH;
+  Eigen::Matrix<double, DIM, DIM> cov_inv = cov.inverse();
+  Eigen::Matrix<double, DIM, DIM> K_1 = (H_T_H + cov_inv).inverse();
+  Eigen::Matrix<double, DIM, 6> G6 = K_1.block<DIM, 6>(0, 0) * HTH;
+  Eigen::Matrix<double, DIM, 1> vec = x_prop - x_curr;
+  Eigen::Matrix<double, DIM, 1> solution =
+      K_1.block<DIM, 6>(0, 0) * HTz + vec - G6 * vec.block<6, 1>(0, 0);
+
+  IMUST x_next = x_curr;
+  x_next += solution;
+
+  Eigen::Matrix<double, DIM, DIM> G;
+  G.setZero();
+  G.block<DIM, 6>(0, 0) = G6;
+  Eigen::Matrix<double, DIM, DIM> cov_post =
+      (Eigen::Matrix<double, DIM, DIM>::Identity() - G) * cov;
+
+  emit(static_cast<double>(match_num));
+  emit_vec(solution);
+  emit_mat(nnt);
+  emit_mat(x_next.R);
+  emit_vec(x_next.p);
+  emit_vec(x_next.v);
+  emit_mat(cov_post);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -187,6 +282,7 @@ int main(int argc, char** argv) {
   if (!strcmp(argv[1], "lidar")) return run_lidar(f, false);
   if (!strcmp(argv[1], "normal")) return run_lidar(f, true);
   if (!strcmp(argv[1], "preint")) return run_preint(f);
+  if (!strcmp(argv[1], "iekf")) return run_iekf(f);
   fprintf(stderr, "oracle: unknown mode %s\n", argv[1]);
   return 2;
 }

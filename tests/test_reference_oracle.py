@@ -267,3 +267,101 @@ def test_preintegration_matches_reference(oracle_bin, tmp_path):
                                atol=2e-3 * np.abs(ggg_ref).max())
     np.testing.assert_allclose(jtjg, jtjg_ref, rtol=2e-3,
                                atol=2e-3 * np.abs(jtjg_ref).max())
+
+
+def test_iekf_iteration_matches_reference(oracle_bin, tmp_path):
+    """iekf_iteration_math vs the VNC-IEKF solver equations transliterated
+    from odometry.cpp:100-207 into csrc/oracle.cpp (run_iekf), evaluated on
+    precomputed match results with the reference's own IMUST boxminus/
+    boxplus (types.hpp:67-88): per-point point-to-plane accumulation, the
+    VNC normal-consistency block, the DIM-state gain/solution, the state
+    update, and the posterior covariance (I - G) P."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.core.linalg import inv_psd
+    from vina_slam_tpu.core.state import NavState, boxplus
+    from vina_slam_tpu.pipeline.odometry import (ScanPlanes,
+                                                 iekf_iteration_math)
+
+    rng = np.random.default_rng(19)
+    sp_prop = _rand_state(rng, 0)
+    sp_curr = dict(sp_prop)
+    # x_curr a small retraction away from x_prop, like a mid-update iterate
+    from vina_slam_tpu.core import so3
+    sp_curr["R"] = sp_prop["R"] @ np.asarray(so3.exp(rng.normal(scale=5e-3, size=3)))
+    sp_curr["p"] = sp_prop["p"] + rng.normal(scale=5e-3, size=3)
+    A = rng.normal(size=(15, 15))
+    cov = A @ A.T / 15.0 + np.eye(15) * 0.05
+
+    N, S = 48, 6
+    pnt = rng.normal(scale=3.0, size=(N, 3))
+    flag = (rng.random(N) < 0.75).astype(int)
+    nrm = rng.normal(size=(N, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    wld_ref = pnt @ sp_curr["R"].T + sp_curr["p"]
+    ctr = wld_ref + rng.normal(scale=0.02, size=(N, 3))
+    sigma_d = rng.uniform(0.001, 0.05, N)
+
+    n_body = rng.normal(size=(S, 3))
+    n_body /= np.linalg.norm(n_body, axis=1, keepdims=True)
+    quality = rng.uniform(0.5, 1.0, S)
+    sigma_n = rng.uniform(0.01, 0.2, S)
+    found = (rng.random(S) < 0.8).astype(int)
+    # map normals near the world-frame scan normals so the 0.7 dot gate
+    # passes for some and fails for others (exercise both branches)
+    n_map = (n_body @ sp_curr["R"].T
+             + rng.normal(scale=[[0.05]] * (S - 2) + [[2.0]] * 2, size=(S, 3)))
+    n_map /= np.linalg.norm(n_map, axis=1, keepdims=True)
+
+    txt = _state_txt(sp_prop) + _state_txt(sp_curr) + _fmt(cov) + _fmt([N])
+    for i in range(N):
+        txt += _fmt(pnt[i], [flag[i]], nrm[i], ctr[i], [sigma_d[i]])
+    txt += _fmt([S])
+    for i in range(S):
+        txt += _fmt(n_body[i], [quality[i]], [sigma_n[i]], [found[i]],
+                    n_map[i])
+    out = _run_oracle(oracle_bin, "iekf", txt, tmp_path)
+    k = 0
+    match_ref = out[k]; k += 1
+    sol_ref = out[k:k + 15]; k += 15
+    nnt_ref = out[k:k + 9].reshape(3, 3); k += 9
+    Rn_ref = out[k:k + 9].reshape(3, 3); k += 9
+    pn_ref = out[k:k + 3]; k += 3
+    vn_ref = out[k:k + 3]; k += 3
+    cov_ref = out[k:k + 225].reshape(15, 15)
+
+    def nav(s):
+        return NavState(
+            t=jnp.asarray(s["t"]), R=jnp.asarray(s["R"]),
+            p=jnp.asarray(s["p"]), v=jnp.asarray(s["v"]),
+            bg=jnp.asarray(s["bg"]), ba=jnp.asarray(s["ba"]),
+            g=jnp.asarray(s["g"]), cov=jnp.asarray(cov))
+
+    x_prop, x_c = nav(sp_prop), nav(sp_curr)
+    f32 = jnp.float32
+    pts32 = jnp.asarray(pnt, f32)
+    wld = pts32 @ x_c.R.astype(f32).T + x_c.p.astype(f32)
+    planes = ScanPlanes(
+        center=jnp.zeros((S, 3), f32), normal=jnp.asarray(n_body, f32),
+        quality=jnp.asarray(quality, f32), sigma_n=jnp.asarray(sigma_n, f32),
+        valid=jnp.ones((S,), bool))
+    sol, G6, nnt, match_num = iekf_iteration_math(
+        x_prop, inv_psd(jnp.asarray(cov)), x_c, pts32, wld,
+        jnp.asarray(flag, bool), jnp.asarray(nrm, f32), jnp.asarray(ctr, f32),
+        jnp.asarray(sigma_d, f32), planes,
+        jnp.asarray(found, bool), jnp.asarray(n_map, f32))
+
+    assert int(match_num) == int(match_ref)
+    np.testing.assert_allclose(np.asarray(nnt), nnt_ref, rtol=1e-5, atol=1e-5)
+    sscale = max(np.abs(sol_ref).max(), 1e-9)
+    np.testing.assert_allclose(np.asarray(sol), sol_ref,
+                               rtol=1e-4, atol=1e-4 * sscale)
+    x_n = boxplus(x_c, sol)
+    np.testing.assert_allclose(np.asarray(x_n.R), Rn_ref, atol=2e-8)
+    np.testing.assert_allclose(np.asarray(x_n.p), pn_ref, atol=2e-8)
+    np.testing.assert_allclose(np.asarray(x_n.v), vn_ref, atol=2e-8)
+    G = jnp.zeros((15, 15), jnp.float64).at[:, 0:6].set(G6)
+    cov_post = np.asarray((jnp.eye(15) - G) @ x_c.cov)
+    cscale = max(np.abs(cov_ref).max(), 1e-9)
+    np.testing.assert_allclose(cov_post, cov_ref,
+                               rtol=1e-4, atol=1e-4 * cscale)

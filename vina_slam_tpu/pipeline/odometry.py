@@ -172,6 +172,64 @@ class IekfResult(NamedTuple):
     iters: jnp.ndarray
 
 
+def iekf_iteration_math(x_prop: NavState, cov_inv, x_c: NavState, pts_body,
+                        wld, ok, nrm, ctr, sigma_d, scan_planes,
+                        vnc_found, vnc_n_map):
+    """One IEKF iteration's pure solver math GIVEN the match results
+    (odometry.cpp:100-207): per-point point-to-plane accumulation, the VNC
+    normal-consistency block, and the DIM-state gain/solution algebra.
+    Factored out of the update loop so tests/test_reference_oracle.py can
+    cross-check it against the reference's own equations on a fixture
+    (precomputed matches stand in for the map lookups).
+
+    Returns (sol (DIM,), G6 (DIM, 6), nnt (3, 3), match_num); the caller
+    applies boxplus, the convergence/rematch protocol, and the posterior
+    covariance (I - G) P."""
+    f32 = pts_body.dtype
+    R32 = x_c.R.astype(f32)
+
+    w_r = jnp.where(ok, 1.0 / (0.0005 + sigma_d), 0.0)
+    resi = jnp.sum(nrm * (wld - ctr), axis=-1)
+    # [p]x (R^T n) as a cross product: keeps the loop free of a
+    # captured (N, 3, 3) skew table (a full (8,128) tile per point)
+    jac_rot = jnp.cross(pts_body, nrm @ R32)
+    jac = jnp.concatenate([jac_rot, nrm], axis=-1).astype(jnp.float64)
+    w64 = w_r.astype(jnp.float64)
+    HTH = jnp.einsum("n,ni,nj->ij", w64, jac, jac)
+    HTz = -jnp.einsum("n,ni,n->i", w64, jac, resi.astype(jnp.float64))
+    nnt = jnp.einsum("n,ni,nj->ij", ok.astype(jnp.float64),
+                     nrm.astype(jnp.float64), nrm.astype(jnp.float64))
+    match_num = jnp.sum(ok, dtype=jnp.int32)
+
+    if scan_planes is not None:
+        sp = scan_planes
+        n_w = sp.normal @ R32.T
+        n_w = n_w / jnp.maximum(
+            jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
+        found, n_map = vnc_found, vnc_n_map
+        dot = jnp.abs(jnp.sum(n_w * n_map, axis=-1))
+        use = sp.valid & found & (dot >= 0.7)
+        S = jnp.eye(3, dtype=f32) - n_map[:, :, None] * n_map[:, None, :]
+        r = bmv(S, n_w)
+        hn = so3.hat(sp.normal)
+        Jr = -bmm(S, bmm(jnp.broadcast_to(R32, hn.shape), hn))
+        wv = 0.1 * sp.quality / (sp.sigma_n * sp.sigma_n + 0.01)
+        wv = jnp.where(use & jnp.isfinite(wv), wv, 0.0).astype(jnp.float64)
+        # J_pos = 0 (cpp:179-182): VNC only informs the rotation block
+        Jr64 = Jr.astype(jnp.float64)
+        HTH = HTH.at[0:3, 0:3].add(jnp.einsum("s,sia,sib->ab", wv, Jr64, Jr64))
+        HTz = HTz.at[0:3].add(-jnp.einsum("s,sia,si->a", wv, Jr64,
+                                          r.astype(jnp.float64)))
+
+    H_T_H = jnp.zeros((DIM, DIM), jnp.float64).at[0:6, 0:6].set(HTH)
+    K_1 = inv_psd(H_T_H + cov_inv)
+    G6 = K_1[:, 0:6] @ HTH                      # (DIM, 6)
+    from vina_slam_tpu.core.state import boxminus
+    vec = boxminus(x_prop, x_c)
+    sol = K_1[:, 0:6] @ HTz + vec - G6 @ vec[0:6]
+    return sol, G6, nnt, match_num
+
+
 @partial(jax.jit, static_argnames=("ms", "max_iter", "use_vnc"))
 def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
                 scan_planes: ScanPlanes, params: vm.MapParams, ms: vm.MapStatic,
@@ -235,44 +293,12 @@ def iekf_update(x: NavState, m: vm.VoxelMap, pts_body, var_body, valid,
                                                     params)
         ok = ok & valid
 
-        w_r = jnp.where(ok, 1.0 / (0.0005 + sigma_d), 0.0)
-        resi = jnp.sum(nrm * (wld - ctr), axis=-1)
-        # [p]x (R^T n) as a cross product: keeps the loop free of a
-        # captured (N, 3, 3) skew table (a full (8,128) tile per point)
-        jac_rot = jnp.cross(pts_body, nrm @ R32)
-        jac = jnp.concatenate([jac_rot, nrm], axis=-1).astype(jnp.float64)
-        w64 = w_r.astype(jnp.float64)
-        HTH = jnp.einsum("n,ni,nj->ij", w64, jac, jac)
-        HTz = -jnp.einsum("n,ni,n->i", w64, jac, resi.astype(jnp.float64))
-        nnt = jnp.einsum("n,ni,nj->ij", ok.astype(jnp.float64), nrm.astype(jnp.float64),
-                         nrm.astype(jnp.float64))
-        match_num = jnp.sum(ok, dtype=jnp.int32)
-
-        if use_vnc:
-            sp = scan_planes
-            n_w = sp.normal @ R32.T
-            n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
-            found, n_map = vnc_found, vnc_n_map
-            dot = jnp.abs(jnp.sum(n_w * n_map, axis=-1))
-            use = sp.valid & found & (dot >= 0.7)
-            S = jnp.eye(3, dtype=f32) - n_map[:, :, None] * n_map[:, None, :]
-            r = bmv(S, n_w)
-            hn = so3.hat(sp.normal)
-            Jr = -bmm(S, bmm(jnp.broadcast_to(R32, hn.shape), hn))
-            wv = 0.1 * sp.quality / (sp.sigma_n * sp.sigma_n + 0.01)
-            wv = jnp.where(use & jnp.isfinite(wv), wv, 0.0).astype(jnp.float64)
-            # J_pos = 0 (cpp:179-182): VNC only informs the rotation block
-            Jr64 = Jr.astype(jnp.float64)
-            HTH = HTH.at[0:3, 0:3].add(jnp.einsum("s,sia,sib->ab", wv, Jr64, Jr64))
-            HTz = HTz.at[0:3].add(-jnp.einsum("s,sia,si->a", wv, Jr64,
-                                              r.astype(jnp.float64)))
-
-        H_T_H = jnp.zeros((DIM, DIM), jnp.float64).at[0:6, 0:6].set(HTH)
-        K_1 = inv_psd(H_T_H + cov_inv)
-        G6 = K_1[:, 0:6] @ HTH                      # (DIM, 6)
-        from vina_slam_tpu.core.state import boxminus, boxplus
-        vec = boxminus(x_prop, x_c)
-        sol = K_1[:, 0:6] @ HTz + vec - G6 @ vec[0:6]
+        sol, G6, nnt, match_num = iekf_iteration_math(
+            x_prop, cov_inv, x_c, pts_body, wld, ok, nrm, ctr, sigma_d,
+            scan_planes if use_vnc else None,
+            vnc_found if use_vnc else None,
+            vnc_n_map if use_vnc else None)
+        from vina_slam_tpu.core.state import boxplus
         x_n = boxplus(x_c, sol)
 
         rot_add = jnp.linalg.norm(sol[0:3])
