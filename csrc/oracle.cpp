@@ -21,6 +21,7 @@
 #include <deque>
 #include <vector>
 
+#include "vina_slam/ekf_imu.hpp"
 #include "vina_slam/mapping/factors.hpp"
 #include "vina_slam/preintegration.hpp"
 
@@ -173,6 +174,76 @@ int run_preint(FILE* f) {
   return 0;
 }
 
+int run_ekf(FILE* f) {
+  // IMUEKF::motion_blur (imu_ekf.cpp:13-148) COMPILED FROM THE REFERENCE
+  // SOURCE: forward propagation (state + DIM covariance over the IMU
+  // midpoint intervals), terminal extrapolation to pcl_end_time, and the
+  // backward per-point deskew through the pose table. Fixture supplies the
+  // EKF driver state the surrounding node normally maintains.
+  IMUEKF ekf;
+  ekf.scale_gravity = rd(f);
+  ekf.cov_gyr = rd3(f);
+  ekf.cov_acc = rd3(f);
+  ekf.cov_bias_gyr = rd3(f);
+  ekf.cov_bias_acc = rd3(f);
+  ekf.Lid_rot_to_IMU = rd33(f);
+  ekf.Lid_offset_to_IMU = rd3(f);
+  ekf.pcl_beg_time = rd(f);
+  ekf.pcl_end_time = rd(f);
+  ekf.last_pcl_end_time = rd(f);
+  ekf.point_notime = 0;
+  ekf.init_flag = true;
+
+  IMUST xc = rd_state(f);
+  for (int i = 0; i < DIM; i++)
+    for (int j = 0; j < DIM; j++) xc.cov(i, j) = rd(f);
+
+  auto mk_imu = [&](FILE* ff) {
+    auto m = std::make_shared<sensor_msgs::msg::Imu>();
+    double t = rd(ff);
+    m->header.stamp.sec = static_cast<int32_t>(t);
+    m->header.stamp.nanosec =
+        static_cast<uint32_t>((t - m->header.stamp.sec) * 1e9 + 0.5);
+    Eigen::Vector3d g = rd3(ff), a = rd3(ff);
+    m->angular_velocity.x = g[0];
+    m->angular_velocity.y = g[1];
+    m->angular_velocity.z = g[2];
+    m->linear_acceleration.x = a[0];
+    m->linear_acceleration.y = a[1];
+    m->linear_acceleration.z = a[2];
+    return m;
+  };
+  ekf.last_imu = mk_imu(f);  // motion_blur push_front()s this
+
+  const int n = static_cast<int>(rd(f));
+  std::deque<sensor_msgs::msg::Imu::SharedPtr> imus;
+  for (int i = 0; i < n; i++) imus.push_back(mk_imu(f));
+
+  const int np = static_cast<int>(rd(f));
+  pcl::PointCloud<PointType> pcl_in;
+  pcl_in.resize(np);
+  for (int i = 0; i < np; i++) {
+    pcl_in.points[i].x = static_cast<float>(rd(f));
+    pcl_in.points[i].y = static_cast<float>(rd(f));
+    pcl_in.points[i].z = static_cast<float>(rd(f));
+    pcl_in.points[i].curvature = static_cast<float>(rd(f));
+  }
+
+  ekf.motion_blur(xc, pcl_in, imus);
+
+  emit(xc.t);
+  emit_mat(xc.R);
+  emit_vec(xc.p);
+  emit_vec(xc.v);
+  emit_mat(xc.cov);
+  for (int i = 0; i < np; i++) {
+    emit(pcl_in.points[i].x);
+    emit(pcl_in.points[i].y);
+    emit(pcl_in.points[i].z);
+  }
+  return 0;
+}
+
 int run_iekf(FILE* f) {
   // One VNC-IEKF iteration's solver math (odometry.cpp:100-207) on
   // PRECOMPUTED match results: the per-point point-to-plane accumulation,
@@ -283,6 +354,7 @@ int main(int argc, char** argv) {
   if (!strcmp(argv[1], "normal")) return run_lidar(f, true);
   if (!strcmp(argv[1], "preint")) return run_preint(f);
   if (!strcmp(argv[1], "iekf")) return run_iekf(f);
+  if (!strcmp(argv[1], "ekf")) return run_ekf(f);
   fprintf(stderr, "oracle: unknown mode %s\n", argv[1]);
   return 2;
 }

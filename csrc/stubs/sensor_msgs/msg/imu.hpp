@@ -4,12 +4,23 @@
 
 #include <cstdint>
 #include <memory>
+#include <utility>
 
 namespace builtin_interfaces {
 namespace msg {
 struct Time {
   int32_t sec = 0;
   uint32_t nanosec = 0;
+  Time() = default;
+  // accept assignment from rclcpp::Time (anything exposing nanoseconds()),
+  // used by IMUEKF::motion_blur's deque-boundary stamp rewrite
+  template <class T, class = decltype(std::declval<T>().nanoseconds())>
+  Time& operator=(const T& t) {
+    int64_t ns = t.nanoseconds();
+    sec = static_cast<int32_t>(ns / 1000000000);
+    nanosec = static_cast<uint32_t>(ns % 1000000000);
+    return *this;
+  }
 };
 }  // namespace msg
 }  // namespace builtin_interfaces

@@ -365,3 +365,91 @@ def test_iekf_iteration_matches_reference(oracle_bin, tmp_path):
     cscale = max(np.abs(cov_ref).max(), 1e-9)
     np.testing.assert_allclose(cov_post, cov_ref,
                                rtol=1e-4, atol=1e-4 * cscale)
+
+
+def test_ekf_propagation_deskew_matches_reference(oracle_bin, tmp_path):
+    """_propagate (associative-scan) + _deskew vs IMUEKF::motion_blur
+    COMPILED FROM THE REFERENCE SOURCE (imu_ekf.cpp:13-148): terminal
+    state, full DIM covariance propagation, and the backward per-point
+    deskew through the pose table, on one real-shaped 0.1 s sweep."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.estimation import ekf as ekf_mod
+    from vina_slam_tpu.sensor.sync import ImuBlock
+    from vina_slam_tpu.core import so3
+
+    rng = np.random.default_rng(23)
+    beg, end = 10.0, 10.1
+    last_pcl_end = beg
+    # ns-quantized IMU stamps straddling the sweep, like the stub roundtrip
+    t_raw = beg - 0.004 + np.cumsum(rng.uniform(0.004, 0.0062, 22))
+    t = np.round(t_raw * 1e9) / 1e9
+    gyr = rng.normal(scale=0.5, size=(22, 3))
+    acc = rng.normal(scale=0.6, size=(22, 3)) + [0, 0, 9.8]
+    last = (t[0], gyr[0], acc[0])
+
+    st = _rand_state(rng, 0)
+    A = rng.normal(size=(15, 15))
+    cov = A @ A.T * 1e-4 + np.eye(15) * 1e-5
+    ext_R = np.asarray(so3.exp(rng.normal(scale=0.1, size=3)))
+    ext_p = rng.normal(scale=0.05, size=3)
+    cg, ca = np.full(3, 0.01), np.full(3, 0.04)
+    cbg, cba = np.full(3, 1e-4), np.full(3, 2e-4)
+
+    Np = 64
+    pts = rng.uniform(-8, 8, size=(Np, 3)).astype(np.float32)
+    rel = np.sort(rng.uniform(0.002, 0.098, Np)).astype(np.float32)
+
+    txt = _fmt([1.0], cg, ca, cbg, cba, ext_R, ext_p,
+               [beg], [end], [last_pcl_end])
+    txt += _state_txt(st) + _fmt(cov)
+    txt += _fmt([last[0]], last[1], last[2])
+    txt += _fmt([len(t) - 1])
+    for i in range(1, len(t)):
+        txt += _fmt([t[i]], gyr[i], acc[i])
+    txt += _fmt([Np])
+    for i in range(Np):
+        txt += _fmt(pts[i], [rel[i]])
+    out = _run_oracle(oracle_bin, "ekf", txt, tmp_path)
+    k = 0
+    t_ref = out[k]; k += 1
+    R_ref = out[k:k + 9].reshape(3, 3); k += 9
+    p_ref = out[k:k + 3]; k += 3
+    v_ref = out[k:k + 3]; k += 3
+    cov_ref = out[k:k + 225].reshape(15, 15); k += 225
+    pts_ref = out[k:].reshape(Np, 3)
+
+    arrays, _, n = ekf_mod.build_intervals(
+        last, last_pcl_end, beg, end, ImuBlock(t[1:], gyr[1:], acc[1:]))
+    assert n >= 20
+    R_e, p_e, v_e, cov_e, pose_table = ekf_mod._propagate(
+        jnp.asarray(st["R"]), jnp.asarray(st["p"]), jnp.asarray(st["v"]),
+        jnp.asarray(cov), jnp.asarray(st["bg"]), jnp.asarray(st["ba"]),
+        jnp.asarray(st["g"]),
+        jnp.asarray(arrays["avr_gyr"]), jnp.asarray(arrays["avr_acc"]),
+        jnp.asarray(arrays["dt"]), jnp.asarray(arrays["offt"]),
+        jnp.asarray(arrays["valid"]),
+        jnp.asarray(cg), jnp.asarray(ca), jnp.asarray(cbg), jnp.asarray(cba),
+        jnp.asarray(1.0), jnp.asarray(arrays["end_minus_last"]))
+
+    np.testing.assert_allclose(np.asarray(R_e), R_ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(p_e), p_ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_e), v_ref, atol=1e-9)
+    # covariance propagates in f32 (documented); compare at f32 fidelity
+    cscale = max(np.abs(cov_ref).max(), 1e-12)
+    np.testing.assert_allclose(np.asarray(cov_e), cov_ref,
+                               rtol=2e-4, atol=2e-5 * cscale)
+
+    deskewed = ekf_mod._deskew(
+        jnp.asarray(pts), jnp.asarray(rel), jnp.ones(Np, bool), pose_table,
+        jnp.asarray(arrays["offt"]), jnp.asarray(n), R_e, p_e,
+        jnp.asarray(ext_R), jnp.asarray(ext_p))
+    # per-point deskew math runs in f32 on ~10 m coordinates (~1e-5 m).
+    # Index 0 is excluded: the reference's backward cursor breaks at
+    # begin() but every EARLIER pose whose t is below the first point's
+    # stamp re-enters the loop and compensates pcl_in[0] AGAIN on its
+    # already-deskewed coordinates (imu_ekf.cpp:128-141) — a first-point
+    # double-deskew we intentionally do not reproduce (documented
+    # deviation, PARITY.md).
+    np.testing.assert_allclose(np.asarray(deskewed)[1:], pts_ref[1:],
+                               atol=5e-5)

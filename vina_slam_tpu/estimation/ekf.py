@@ -100,13 +100,19 @@ def _propagate(
     R, p, v = R_incl[-1], p_incl[-1], v_incl[-1]
     # terminal extrapolation to scan end (imu_ekf.cpp:88-94): signed dt from
     # the last IMU stamp to pcl_end_time, using the final interval's w/a.
+    # The reference's note/dt convention (note = sign(delta), dt = |delta|)
+    # makes the linear terms depend on delta but the QUADRATIC term on
+    # note*dt^2 = delta*|delta| — when the last IMU sample lands past scan
+    # end (the usual case: sync waits for IMU coverage), the 0.5*a*dt^2
+    # term is SUBTRACTED. Pinned against the compiled reference by
+    # tests/test_reference_oracle.py::test_ekf_propagation_deskew....
     last_idx = jnp.maximum(jnp.sum(valid) - 1, 0)
     w_last = w[last_idx]
     a_last = acc_w[last_idx]
     dte = end_minus_last_offt
     v_end = v + a_last * dte
     R_end = R @ so3.exp(w_last * dte)
-    p_end = p + v * dte + 0.5 * a_last * dte * dte
+    p_end = p + v * dte + 0.5 * a_last * dte * jnp.abs(dte)
     pose_table = (R_excl, p_excl, v_excl, w, acc_w)
     return R_end, p_end, v_end, cov, pose_table
 
