@@ -23,7 +23,12 @@
 
 #include "vina_slam/ekf_imu.hpp"
 #include "vina_slam/mapping/factors.hpp"
+#include "vina_slam/mapping/optimizers.hpp"
 #include "vina_slam/preintegration.hpp"
+
+// timing-probe counter incremented by the rclcpp::Clock stub
+// (csrc/stubs/rclcpp/clock.hpp); 2 per Hessian eval + 2 per LM iteration
+int64_t g_oracle_clock_calls = 0;
 
 namespace {
 
@@ -244,6 +249,92 @@ int run_ekf(FILE* f) {
   return 0;
 }
 
+int run_lm(FILE* f) {
+  // The FULL windowed-BA LM driver COMPILED FROM THE REFERENCE SOURCE:
+  // LI_BA_Optimizer::damping_iter (optimizers.cpp:430-517) — gauge fixing,
+  // Nielsen damping, preintegration bias-correction rollback, the 1e-6
+  // relative-residual break — over LidarFactor + IMU_PRE edges built from
+  // the fixture. Emits the refined window states, the output Hessian, and
+  // the Clock-probe count (2 per Hessian eval + 2 per iteration).
+  noiseMeas = Eigen::Matrix<double, 6, 6>::Zero();
+  noiseWalk = Eigen::Matrix<double, 6, 6>::Zero();
+  for (int i = 0; i < 6; i++)
+    for (int j = 0; j < 6; j++) noiseMeas(i, j) = rd(f);
+  for (int i = 0; i < 6; i++)
+    for (int j = 0; j < 6; j++) noiseWalk(i, j) = rd(f);
+  imupre_scale_gravity = rd(f);
+  imu_coef = rd(f);
+
+  const int W = static_cast<int>(rd(f));
+  const int V = static_cast<int>(rd(f));
+  std::vector<IMUST> xs(W);
+  for (int i = 0; i < W; i++) xs[i] = rd_state(f);
+
+  LidarFactor lf(W);
+  for (int a = 0; a < V; a++) {
+    double coe = rd(f);
+    PointCluster fix = rd_cluster(f);
+    std::vector<PointCluster> per(W);
+    for (int i = 0; i < W; i++) per[i] = rd_cluster(f);
+    Eigen::Vector3d ev = Eigen::Vector3d::Zero();
+    Eigen::Matrix3d eV = Eigen::Matrix3d::Identity();
+    PointCluster add;
+    lf.push_voxel(per, fix, coe, ev, eV, add);
+  }
+
+  std::deque<IMU_PRE*> imus;
+  for (int e = 0; e < W - 1; e++) {
+    Eigen::Vector3d bg = rd3(f), ba = rd3(f);
+    auto* pre = new IMU_PRE(bg, ba);
+    const int n = static_cast<int>(rd(f));
+    std::deque<sensor_msgs::msg::Imu::SharedPtr> buf;
+    for (int i = 0; i < n; i++) {
+      auto m = std::make_shared<sensor_msgs::msg::Imu>();
+      double t = rd(f);
+      m->header.stamp.sec = static_cast<int32_t>(t);
+      m->header.stamp.nanosec =
+          static_cast<uint32_t>((t - m->header.stamp.sec) * 1e9 + 0.5);
+      Eigen::Vector3d g = rd3(f), a = rd3(f);
+      m->angular_velocity.x = g[0];
+      m->angular_velocity.y = g[1];
+      m->angular_velocity.z = g[2];
+      m->linear_acceleration.x = a[0];
+      m->linear_acceleration.y = a[1];
+      m->linear_acceleration.z = a[2];
+      buf.push_back(m);
+    }
+    pre->push_imu(buf);
+    imus.push_back(pre);
+  }
+
+  // seed the cached eig state at the entry poses, as recut/tras_opt does
+  // before the pipeline's damping_iter call (octree.cpp:524-541)
+  double res0 = 0;
+  lf.evaluate_only_residual(xs, 0, V, res0);
+
+  LI_BA_Optimizer opt;
+  Eigen::MatrixXd hess;
+  g_oracle_clock_calls = 0;
+  opt.damping_iter(xs, lf, imus, &hess);
+
+  emit(res0);
+  for (int i = 0; i < W; i++) {
+    emit_mat(xs[i].R);
+    emit_vec(xs[i].p);
+    emit_vec(xs[i].v);
+    emit_vec(xs[i].bg);
+    emit_vec(xs[i].ba);
+  }
+  for (int e = 0; e < W - 1; e++) {
+    emit_vec(imus[e]->dbg);
+    emit_vec(imus[e]->dba);
+  }
+  emit_mat(hess);
+  emit(static_cast<double>(g_oracle_clock_calls));
+  for (auto* p : imus) delete p;
+  return 0;
+}
+
 int run_iekf(FILE* f) {
   // One VNC-IEKF iteration's solver math (odometry.cpp:100-207) on
   // PRECOMPUTED match results: the per-point point-to-plane accumulation,
@@ -355,6 +446,7 @@ int main(int argc, char** argv) {
   if (!strcmp(argv[1], "preint")) return run_preint(f);
   if (!strcmp(argv[1], "iekf")) return run_iekf(f);
   if (!strcmp(argv[1], "ekf")) return run_ekf(f);
+  if (!strcmp(argv[1], "lm")) return run_lm(f);
   fprintf(stderr, "oracle: unknown mode %s\n", argv[1]);
   return 2;
 }

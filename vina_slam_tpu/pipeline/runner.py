@@ -83,6 +83,11 @@ class RunnerStats:
     init_rounds: int = 0
     resets: int = 0
     evictions: int = 0
+    # per-BA-run telemetry (modular path only; the fused step keeps these
+    # on-device): LM iterations actually executed out of max_iter, and how
+    # many of the V factor-pad rows held real voxels
+    lm_iters: list = field(default_factory=list)
+    ba_fill: list = field(default_factory=list)
 
 
 class SlamRunner:
@@ -499,6 +504,8 @@ class SlamRunner:
                     use_normal=use_normal)
                 self._absorb_ba(lm)
                 self.stats.ba_runs += 1
+                self.stats.lm_iters.append(int(lm.iters))
+                self.stats.ba_fill.append(int(factors.n_valid))
                 Rs, ps = self._stacked_poses()
 
             # marginalize the oldest frame (local_mapping.cpp:505-546)
