@@ -12,6 +12,14 @@
 //   oracle normal <fix>   NormalFactor::acc_evaluate2 (factors.cpp:185-304)
 //   oracle preint <fix>   IMU_PRE::push_imu + give_evaluate[_g]
 //                         (imu_preintegration.cpp:31-237)
+//   oracle iekf   <fix>   one VNC-IEKF iteration's solver math
+//                         (odometry.cpp:100-207, transliterated here)
+//   oracle ekf    <fix>   IMUEKF::motion_blur propagation + deskew
+//                         (imu_ekf.cpp:13-148)
+//   oracle lm     <fix>   LI_BA_Optimizer::damping_iter — the full
+//                         windowed-BA LM loop (optimizers.cpp:430-517)
+//   oracle lmg    <fix>   LI_BA_OptimizerGravity::damping_iter
+//                         (optimizers.cpp:746-826)
 //
 // Output: one double per line via printf("%.17g").
 
@@ -335,6 +343,90 @@ int run_lm(FILE* f) {
   return 0;
 }
 
+int run_lmg(FILE* f) {
+  // LI_BA_OptimizerGravity::damping_iter (optimizers.cpp:746-826) COMPILED
+  // FROM THE REFERENCE SOURCE: the motion_init gravity-refining LM with the
+  // shared 3-dim gravity column, 6-DoF gauge (cpp:772-775), and
+  // give_evaluate_g IMU edges. Same fixture as "lm" plus a leading
+  // max_iter. Emits resis[0], refined states incl. g, dbg/dba, resis.back.
+  noiseMeas = Eigen::Matrix<double, 6, 6>::Zero();
+  noiseWalk = Eigen::Matrix<double, 6, 6>::Zero();
+  for (int i = 0; i < 6; i++)
+    for (int j = 0; j < 6; j++) noiseMeas(i, j) = rd(f);
+  for (int i = 0; i < 6; i++)
+    for (int j = 0; j < 6; j++) noiseWalk(i, j) = rd(f);
+  imupre_scale_gravity = rd(f);
+  imu_coef = rd(f);
+  const int max_iter = static_cast<int>(rd(f));
+
+  const int W = static_cast<int>(rd(f));
+  const int V = static_cast<int>(rd(f));
+  std::vector<IMUST> xs(W);
+  for (int i = 0; i < W; i++) xs[i] = rd_state(f);
+
+  LidarFactor lf(W);
+  for (int a = 0; a < V; a++) {
+    double coe = rd(f);
+    PointCluster fix = rd_cluster(f);
+    std::vector<PointCluster> per(W);
+    for (int i = 0; i < W; i++) per[i] = rd_cluster(f);
+    Eigen::Vector3d ev = Eigen::Vector3d::Zero();
+    Eigen::Matrix3d eV = Eigen::Matrix3d::Identity();
+    PointCluster add;
+    lf.push_voxel(per, fix, coe, ev, eV, add);
+  }
+
+  std::deque<IMU_PRE*> imus;
+  for (int e = 0; e < W - 1; e++) {
+    Eigen::Vector3d bg = rd3(f), ba = rd3(f);
+    auto* pre = new IMU_PRE(bg, ba);
+    const int n = static_cast<int>(rd(f));
+    std::deque<sensor_msgs::msg::Imu::SharedPtr> buf;
+    for (int i = 0; i < n; i++) {
+      auto m = std::make_shared<sensor_msgs::msg::Imu>();
+      double t = rd(f);
+      m->header.stamp.sec = static_cast<int32_t>(t);
+      m->header.stamp.nanosec =
+          static_cast<uint32_t>((t - m->header.stamp.sec) * 1e9 + 0.5);
+      Eigen::Vector3d g = rd3(f), a = rd3(f);
+      m->angular_velocity.x = g[0];
+      m->angular_velocity.y = g[1];
+      m->angular_velocity.z = g[2];
+      m->linear_acceleration.x = a[0];
+      m->linear_acceleration.y = a[1];
+      m->linear_acceleration.z = a[2];
+      buf.push_back(m);
+    }
+    pre->push_imu(buf);
+    imus.push_back(pre);
+  }
+
+  double res0 = 0;
+  lf.evaluate_only_residual(xs, 0, V, res0);
+
+  LI_BA_OptimizerGravity opt;
+  Eigen::MatrixXd hess;
+  std::vector<double> resis;
+  opt.damping_iter(xs, lf, imus, resis, &hess, max_iter);
+
+  emit(resis.front());
+  for (int i = 0; i < W; i++) {
+    emit_mat(xs[i].R);
+    emit_vec(xs[i].p);
+    emit_vec(xs[i].v);
+    emit_vec(xs[i].bg);
+    emit_vec(xs[i].ba);
+    emit_vec(xs[i].g);
+  }
+  for (int e = 0; e < W - 1; e++) {
+    emit_vec(imus[e]->dbg);
+    emit_vec(imus[e]->dba);
+  }
+  emit(resis.back());
+  for (auto* p : imus) delete p;
+  return 0;
+}
+
 int run_iekf(FILE* f) {
   // One VNC-IEKF iteration's solver math (odometry.cpp:100-207) on
   // PRECOMPUTED match results: the per-point point-to-plane accumulation,
@@ -447,6 +539,7 @@ int main(int argc, char** argv) {
   if (!strcmp(argv[1], "iekf")) return run_iekf(f);
   if (!strcmp(argv[1], "ekf")) return run_ekf(f);
   if (!strcmp(argv[1], "lm")) return run_lm(f);
+  if (!strcmp(argv[1], "lmg")) return run_lmg(f);
   fprintf(stderr, "oracle: unknown mode %s\n", argv[1]);
   return 2;
 }

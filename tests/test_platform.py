@@ -234,12 +234,12 @@ class TestWebViz:
         m = m._replace(
             keys=m.keys.at[:2].set(keys),
             is_plane=m.is_plane.at[:2].set(True),
-            plane_center=m.plane_center.at[:2].set(
-                jnp.asarray([[1.5, 2.5, 3.5], [2.25, 2.75, 3.25]])),
-            plane_normal=m.plane_normal.at[:2].set(
-                jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])),
-            eig_val=m.eig_val.at[:2].set(
-                jnp.asarray([[1e-4, 0.02, 0.03], [2e-4, 0.01, 0.04]])),
+            plane_center=m.plane_center.at[:2].set(jnp.asarray(
+                [[1.5, 2.5, 3.5], [2.25, 2.75, 3.25]], m.plane_center.dtype)),
+            plane_normal=m.plane_normal.at[:2].set(jnp.asarray(
+                [[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]], m.plane_normal.dtype)),
+            eig_val=m.eig_val.at[:2].set(jnp.asarray(
+                [[1e-4, 0.02, 0.03], [2e-4, 0.01, 0.04]], m.eig_val.dtype)),
         )
         return m, params
 

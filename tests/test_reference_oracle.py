@@ -455,25 +455,17 @@ def test_ekf_propagation_deskew_matches_reference(oracle_bin, tmp_path):
                                atol=5e-5)
 
 
-def test_lm_damping_iter_matches_reference(oracle_bin, tmp_path):
-    """ba.damping_iter vs LI_BA_Optimizer::damping_iter COMPILED FROM THE
-    REFERENCE SOURCE (optimizers.cpp:430-517): the full 10-iteration LM
-    loop — gauge fixing, Nielsen trust region, bias-correction rollback,
-    1e-6 relative-residual break — on a production-like near-converged
-    window. Also pins the iteration/accept trajectory via the Clock-probe
-    count (2 per Hessian eval + 2 per iteration, optimizers.cpp:454-484)."""
+def _lm_window_fixture(rng, W, V, imu_coef, nm, nw):
+    """Production-like near-converged window + planar voxel clusters + IMU
+    edges, as BOTH an oracle fixture text block (states/voxels/edges — the
+    caller prepends the mode header) and the repo-side (factors, stacked
+    preintegration edges, WindowPoses) triple."""
     import jax
     import jax.numpy as jnp
 
     from vina_slam_tpu.core import so3
     from vina_slam_tpu.estimation import preintegration as pre
     from vina_slam_tpu.mapping import ba
-
-    rng = np.random.default_rng(31)
-    W, V = 6, 4
-    imu_coef = 1e-4
-    nm = np.diag(rng.uniform(1e-4, 5e-4, 6))
-    nw = np.diag(rng.uniform(1e-6, 5e-6, 6))
 
     # true window trajectory; entry states = true + small perturbation so
     # the LM runs in its production regime (small steps, mostly accepts)
@@ -533,8 +525,7 @@ def test_lm_damping_iter_matches_reference(oracle_bin, tmp_path):
         ba_ = rng.normal(scale=0.02, size=3)
         edges.append((t, gyr, acc, bg, ba_))
 
-    txt = _fmt(nm, nw, [1.0], [imu_coef], [W], [V])
-    txt += "".join(_state_txt(s) for s in states)
+    txt = "".join(_state_txt(s) for s in states)
     for a in range(V):
         txt += _fmt([1.0], fixP[a], fixv[a], [fixN[a]])
         for i in range(W):
@@ -544,25 +535,6 @@ def test_lm_damping_iter_matches_reference(oracle_bin, tmp_path):
         for i in range(len(t)):
             txt += _fmt([t[i]], gyr[i], acc[i])
 
-    out = _run_oracle(oracle_bin, "lm", txt, tmp_path)
-    k = 0
-    res0_ref = out[k]; k += 1
-    ref = {}
-    for key, d in (("R", 9), ("p", 3), ("v", 3), ("bg", 3), ("ba", 3)):
-        ref[key] = np.zeros((W, d))
-    for i in range(W):
-        for key, d in (("R", 9), ("p", 3), ("v", 3), ("bg", 3), ("ba", 3)):
-            ref[key][i] = out[k:k + d]; k += d
-    dbg_ref = np.zeros((W - 1, 3))
-    dba_ref = np.zeros((W - 1, 3))
-    for e in range(W - 1):
-        dbg_ref[e] = out[k:k + 3]; k += 3
-        dba_ref[e] = out[k:k + 3]; k += 3
-    hess_ref = out[k:k + (15 * W) ** 2].reshape(15 * W, 15 * W)
-    k += (15 * W) ** 2
-    clock_calls = int(out[k])
-
-    # my side: identical factors + edges
     f = _ba_factors_from_raw(per, vb, Nb, fixP, fixv, fixN,
                              np.zeros((V, 3)))
     pre_list = []
@@ -583,6 +555,46 @@ def test_lm_damping_iter_matches_reference(oracle_bin, tmp_path):
         bg=jnp.asarray(np.stack([s["bg"] for s in states])),
         ba=jnp.asarray(np.stack([s["ba"] for s in states])),
         g=jnp.asarray(states[-1]["g"]))
+    return txt, f, pre_st, w0
+
+
+def test_lm_damping_iter_matches_reference(oracle_bin, tmp_path):
+    """ba.damping_iter vs LI_BA_Optimizer::damping_iter COMPILED FROM THE
+    REFERENCE SOURCE (optimizers.cpp:430-517): the full 10-iteration LM
+    loop — gauge fixing, Nielsen trust region, bias-correction rollback,
+    1e-6 relative-residual break — on a production-like near-converged
+    window. Also pins the iteration/accept trajectory via the Clock-probe
+    count (2 per Hessian eval + 2 per iteration, optimizers.cpp:454-484)."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.mapping import ba
+
+    rng = np.random.default_rng(31)
+    W, V = 6, 4
+    imu_coef = 1e-4
+    nm = np.diag(rng.uniform(1e-4, 5e-4, 6))
+    nw = np.diag(rng.uniform(1e-6, 5e-6, 6))
+    core, f, pre_st, w0 = _lm_window_fixture(rng, W, V, imu_coef, nm, nw)
+    txt = _fmt(nm, nw, [1.0], [imu_coef], [W], [V]) + core
+
+    out = _run_oracle(oracle_bin, "lm", txt, tmp_path)
+    k = 0
+    res0_ref = out[k]; k += 1
+    ref = {}
+    for key, d in (("R", 9), ("p", 3), ("v", 3), ("bg", 3), ("ba", 3)):
+        ref[key] = np.zeros((W, d))
+    for i in range(W):
+        for key, d in (("R", 9), ("p", 3), ("v", 3), ("bg", 3), ("ba", 3)):
+            ref[key][i] = out[k:k + d]; k += d
+    dbg_ref = np.zeros((W - 1, 3))
+    dba_ref = np.zeros((W - 1, 3))
+    for e in range(W - 1):
+        dbg_ref[e] = out[k:k + 3]; k += 3
+        dba_ref[e] = out[k:k + 3]; k += 3
+    hess_ref = out[k:k + (15 * W) ** 2].reshape(15 * W, 15 * W)
+    k += (15 * W) ** 2
+    clock_calls = int(out[k])
+
     lm = ba.damping_iter(w0, f, pre_st, jnp.asarray(imu_coef), W,
                          max_iter=10, use_normal=False)
 
@@ -612,3 +624,59 @@ def test_lm_damping_iter_matches_reference(oracle_bin, tmp_path):
     print(f"lm oracle: hess rel diff {hd:.2e} (informational; the ref "
           f"returns the hessian from the LAST is_calc_hess entry, ours "
           f"from the last ACCEPT)")
+
+
+def test_lm_gravity_damping_iter_matches_reference(oracle_bin, tmp_path):
+    """ba.damping_iter(with_gravity=True) vs
+    LI_BA_OptimizerGravity::damping_iter COMPILED FROM THE REFERENCE SOURCE
+    (optimizers.cpp:746-826): the motion_init gravity-refining LM — shared
+    3-dim gravity column, 6-DoF gauge (cpp:772-775), give_evaluate_g edges
+    — at the init call's max_iter=3 (initialization.cpp:257-260)."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.mapping import ba
+
+    rng = np.random.default_rng(41)
+    W, V = 6, 4
+    imu_coef = 1e-4
+    max_iter = 3
+    nm = np.diag(rng.uniform(1e-4, 5e-4, 6))
+    nw = np.diag(rng.uniform(1e-6, 5e-6, 6))
+    core, f, pre_st, w0 = _lm_window_fixture(rng, W, V, imu_coef, nm, nw)
+    txt = _fmt(nm, nw, [1.0], [imu_coef], [max_iter], [W], [V]) + core
+
+    out = _run_oracle(oracle_bin, "lmg", txt, tmp_path)
+    k = 0
+    res0_ref = out[k]; k += 1
+    ref = {}
+    for key, d in (("R", 9), ("p", 3), ("v", 3), ("bg", 3), ("ba", 3),
+                   ("g", 3)):
+        ref[key] = np.zeros((W, d))
+    for i in range(W):
+        for key, d in (("R", 9), ("p", 3), ("v", 3), ("bg", 3), ("ba", 3),
+                       ("g", 3)):
+            ref[key][i] = out[k:k + d]; k += d
+    dbg_ref = np.zeros((W - 1, 3))
+    dba_ref = np.zeros((W - 1, 3))
+    for e in range(W - 1):
+        dbg_ref[e] = out[k:k + 3]; k += 3
+        dba_ref[e] = out[k:k + 3]; k += 3
+    res_last_ref = out[k]
+
+    lm = ba.damping_iter(w0, f, pre_st, jnp.asarray(imu_coef), W,
+                         max_iter=max_iter, with_gravity=True)
+
+    # residuals: f32 factor noise scale
+    np.testing.assert_allclose(float(lm.residual0), res0_ref, rtol=5e-4)
+    np.testing.assert_allclose(float(lm.residual1), res_last_ref, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(lm.poses.R).reshape(W, 9),
+                               ref["R"], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lm.poses.p), ref["p"], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lm.poses.v), ref["v"], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lm.poses.bg), ref["bg"], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lm.poses.ba), ref["ba"], atol=5e-3)
+    # shared gravity column: all frames carry the same refined g
+    np.testing.assert_allclose(ref["g"], np.broadcast_to(ref["g"][0], (W, 3)))
+    np.testing.assert_allclose(np.asarray(lm.poses.g), ref["g"][0], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lm.pre_f.dbg), dbg_ref, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lm.pre_f.dba), dba_ref, atol=5e-3)
