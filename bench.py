@@ -244,7 +244,9 @@ def main():
     # reference sizes its hash map; map-wide ops cost per CAPACITY row
     cfg.tpu.map_capacity = 1 << 15
     cfg.tpu.fix_pool_capacity = 1 << 15
-    cfg.tpu.max_voxels_ba = 1024
+    # BA factor pad: measured fill on this world is ~420 mean / 523 max of
+    # 1024 (scripts/lm_stats.py); BENCH_MAX_VOXELS_BA trials right-sizing
+    cfg.tpu.max_voxels_ba = int(os.environ.get("BENCH_MAX_VOXELS_BA", "1024"))
     cfg.tpu.max_new_voxels = 1024
 
     def warm_runner(seed):

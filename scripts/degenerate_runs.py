@@ -84,14 +84,30 @@ def rot_err_deg(traj_R, gts, traj_t):
     return float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan")
 
 
-def seq_metrics(runner, gts):
+def seq_metrics(runner, gts, last_session=False, align_rot=False):
+    """ATE (SE(3)-aligned) + rotation RMSE. With last_session, score only
+    rows after the final system_reset (earlier rows live in a different,
+    arbitrarily rebased world frame). With align_rot, remove the first
+    matched frame's orientation offset first (post-reset yaw is arbitrary;
+    gravity pins only roll/pitch)."""
     traj = runner.trajectory()
-    Rs = [r[1] for r in runner.traj]
+    s0 = runner.last_session_start() if last_session else 0
+    traj = traj[s0:]
+    Rs = [r[1] for r in runner.traj][s0:]
     ref_t = np.asarray([t for (t, R, p) in gts])
     ref_p = np.asarray([p for (t, R, p) in gts])
     ie, ir = associate(traj[:, 0], ref_t)
     ate = ate_rmse(traj[ie, 1:4], ref_p[ir]) if len(ie) >= 3 else float("nan")
-    rerr = rot_err_deg(np.asarray(Rs), gts, traj[:, 0])
+    if align_rot and len(ie):
+        C = np.asarray(Rs[ie[0]]).T @ gts[ir[0]][1]
+        errs = []
+        for i, j in zip(ie, ir):
+            dR = C.T @ np.asarray(Rs[i]).T @ gts[j][1]
+            c = np.clip((np.trace(dR) - 1) / 2, -1, 1)
+            errs.append(np.degrees(np.arccos(c)))
+        rerr = float(np.sqrt(np.mean(np.square(errs))))
+    else:
+        rerr = rot_err_deg(np.asarray(Rs), gts, traj[:, 0])
     return ate, rerr, traj.shape[0]
 
 
@@ -163,9 +179,62 @@ def long_case():
           flush=True)
 
 
+def stairwell_case():
+    """Third degenerate family: spiral stairwell ascent (VNC's OTHER target
+    regime) — every normal direction visible but all patches small and
+    close (short lever arms) with a vertically aliasing tread pattern,
+    under sustained ~60 deg/s yaw."""
+    dur = float(os.environ.get("STAIR_DUR", "14.0"))
+    turn_s = float(os.environ.get("STAIR_TURN_S", "6.0"))
+    noise = float(os.environ.get("STAIR_NOISE", "0.01"))
+    n_floors = int(np.ceil((dur - 1.5) / turn_s)) + 1
+    patches = synth.stairwell_world(n_floors=n_floors)
+    traj = synth.HelixTrajectory(turn_s=turn_s, climb=3.0 / turn_s)
+    # dome FOV (-52..52 deg, mid360-like): inside a 3.2 m shaft a narrow
+    # (+-31 deg) spinner never sees the treads below -- rays hit walls
+    # first, z-facing voxels starve, and the init normal-spread gate
+    # (initialization.cpp:285) correctly REJECTS every window
+    frames, gts = synth.simulate_sequence(
+        duration=dur, traj=traj, patches=patches, n_az=180, n_el=12,
+        noise=noise, imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4,
+        max_range=20.0, el_range=(-0.9, 0.9))
+    yaw_dps = 360.0 / turn_s
+    print(f"[stairwell] {len(frames)} frames, {n_floors} floors, "
+          f"{yaw_dps:.0f} deg/s yaw, noise {noise*100:.1f} cm", flush=True)
+
+    results = {}
+    for name, vnc in (("vnc", 1), ("plain", 0)):
+        cfg = corridor_cfg(use_vnc=vnc)
+        cfg.odometry.voxel_size = 0.5   # small-patch world: finer voxels
+        runner, el, peak = run_seq(cfg, frames)
+        # the static dwell window may be rejected by the init gates (a
+        # correct refusal) -> score the final session, yaw-offset removed
+        ate, rerr, n = seq_metrics(runner, gts, last_session=True,
+                                   align_rot=True)
+        # frame-invariant rotation tracking (ignores any init-frame tilt)
+        from vina_slam_tpu.platform.metrics import rot_rpe_rmse_deg
+        s0 = runner.last_session_start()
+        traj = runner.trajectory()[s0:]
+        Rs = [r[1] for r in runner.traj][s0:]
+        ref_t = np.asarray([t for (t, R, p) in gts])
+        ie, ir = associate(traj[:, 0], ref_t)
+        rpe = rot_rpe_rmse_deg([Rs[i] for i in ie], [gts[j][1] for j in ir],
+                               delta=10)
+        flags = runner.degenerate_flags()
+        n_degen = int(np.sum(flags))
+        results[name] = (ate, rerr, n_degen, peak)
+        print(f"[stairwell:{name}] ate={ate:.4f} m rot_rmse={rerr:.3f} deg "
+              f"rot_rpe={rpe:.3f} deg/s resets={runner.stats.resets} "
+              f"degenerate_frames={n_degen}/{len(flags)} "
+              f"peak_degrade_cnt={peak} wall={el:.1f}s frames={n}", flush=True)
+    return results
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("corridor", "all"):
         corridor_case()
     if which in ("long", "all"):
         long_case()
+    if which in ("stairwell", "all"):
+        stairwell_case()

@@ -88,6 +88,11 @@ class RunnerStats:
     # many of the V factor-pad rows held real voxels
     lm_iters: list = field(default_factory=list)
     ba_fill: list = field(default_factory=list)
+    # trajectory-row index where each post-reset session begins (the
+    # reference's publishers carry a `cur_session` id for the same reason:
+    # after system_reset the world frame is rebased, so rows from different
+    # sessions must not be compared in one rigid alignment)
+    session_starts: list = field(default_factory=list)
 
 
 class SlamRunner:
@@ -179,6 +184,7 @@ class SlamRunner:
 
     def system_reset(self, imu_block):
         """system_reset (node.cpp:368-408)."""
+        self.stats.session_starts.append(len(self.traj))
         self.reset_containers()
         self.x_curr = self.x_curr._replace(p=jnp.asarray([0.0, 0.0, 30.0]))
         self.ekf.mean_acc = np.zeros(3)
@@ -807,6 +813,13 @@ class SlamRunner:
             q = rot_to_quat(R)
             rows.append([t, p[0], p[1], p[2], q[0], q[1], q[2], q[3]])
         return np.asarray(rows)
+
+    def last_session_start(self) -> int:
+        """Trajectory-row index where the current (post-last-reset) session
+        begins; 0 if no reset ever fired. Rows before it live in a
+        different, arbitrarily rebased world frame."""
+        self.drain_traj()
+        return self.stats.session_starts[-1] if self.stats.session_starts else 0
 
     def degenerate_flags(self) -> np.ndarray:
         """Per-scan geometric-degeneracy verdicts aligned with trajectory()

@@ -62,3 +62,20 @@ def rpe_rmse(est_xyz: np.ndarray, ref_xyz: np.ndarray, delta: int = 10) -> float
     de = est[delta:n] - est[: n - delta]
     dr = ref[delta:n] - ref[: n - delta]
     return float(np.sqrt(np.mean(np.sum((de - dr) ** 2, axis=1))))
+
+
+def rot_rpe_rmse_deg(Rs_est, Rs_ref, delta: int = 10) -> float:
+    """Relative ROTATION error RMSE (degrees) over a fixed frame delta:
+    angle( (R_ref_i^T R_ref_j)^T (R_est_i^T R_est_j) ), j = i + delta.
+    Invariant to any fixed world-frame offset of the estimate (yaw gauge
+    AND gravity tilt), so it measures rotation TRACKING, not init frame."""
+    n = min(len(Rs_est), len(Rs_ref))
+    if n <= delta:
+        return float("nan")
+    errs = []
+    for i in range(n - delta):
+        de = np.asarray(Rs_est[i]).T @ np.asarray(Rs_est[i + delta])
+        dr = np.asarray(Rs_ref[i]).T @ np.asarray(Rs_ref[i + delta])
+        c = np.clip((np.trace(dr.T @ de) - 1) / 2, -1.0, 1.0)
+        errs.append(np.degrees(np.arccos(c)))
+    return float(np.sqrt(np.mean(np.square(errs))))

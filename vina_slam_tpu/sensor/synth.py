@@ -125,6 +125,61 @@ def corridor_world(length: float = 120.0, width: float = 4.0,
     return out
 
 
+def stairwell_world(n_floors: int = 4, shaft: float = 3.2,
+                    floor_h: float = 3.0, steps_per_turn: int = 12,
+                    column: float = 0.6) -> List[PlanePatch]:
+    """A spiral stairwell — the OTHER geometry VNC targets (ReadMe.md:8,
+    docs/VNCLio_formulation.md:130-194, config/compus_elevator.yaml's
+    regime). Unlike the corridor, every normal direction IS represented
+    (walls +-x/+-y, treads +z, risers tangential), but each visible patch is
+    SMALL and CLOSE: point-to-plane rotation information scales with the
+    lever arms |q| of the matched points, which a 3.2 m shaft caps at ~2 m,
+    while the repetitive tread/riser pattern aliases vertically. Normal-
+    alignment residuals (VNC) constrain rotation independent of lever arms.
+
+    Square shaft of inward-facing walls, a central square column, and
+    spiral treads+risers winding up `n_floors` turns (one turn per floor)."""
+    ex, ey, ez = np.eye(3)
+    H = n_floors * floor_h
+    hs = shaft / 2.0
+    out = []
+    # shaft walls (inward normals) + ground floor + roof
+    for axis, other in ((ex, ey), (ey, ex)):
+        for sgn in (+1.0, -1.0):
+            out.append(PlanePatch(q=np.array([0.0, 0.0, H / 2]) + sgn * hs * axis,
+                                  n=-sgn * axis, u=other, v=ez,
+                                  hu=hs, hv=H / 2))
+    out.append(PlanePatch(q=np.zeros(3), n=ez, u=ex, v=ey, hu=hs, hv=hs))
+    out.append(PlanePatch(q=np.array([0.0, 0.0, H]), n=-ez, u=ex, v=ey,
+                          hu=hs, hv=hs))
+    # central column (outward normals), full height
+    hc = column / 2.0
+    for axis, other in ((ex, ey), (ey, ex)):
+        for sgn in (+1.0, -1.0):
+            out.append(PlanePatch(q=np.array([0.0, 0.0, H / 2]) + sgn * hc * axis,
+                                  n=sgn * axis, u=other, v=ez,
+                                  hu=hc, hv=H / 2))
+    # spiral treads + risers: tread k spans angles around theta_k at height
+    # z_k; tread normal +z, riser normal tangential (faces the climber)
+    n_steps = n_floors * steps_per_turn
+    dz = floor_h / steps_per_turn
+    r_mid = (hc + hs) / 2.0           # tread center radius
+    tread_r = (hs - hc) / 2.0         # radial half extent
+    tread_t = np.pi * r_mid / steps_per_turn * 0.95  # tangential half extent
+    for k in range(n_steps):
+        th = 2 * np.pi * k / steps_per_turn
+        zk = (k + 1) * dz
+        rad = np.array([np.cos(th), np.sin(th), 0.0])
+        tan = np.array([-np.sin(th), np.cos(th), 0.0])
+        c = r_mid * rad + np.array([0.0, 0.0, zk])
+        out.append(PlanePatch(q=c, n=ez, u=rad, v=tan,
+                              hu=tread_r, hv=tread_t))
+        # riser: vertical face at the tread's leading edge
+        out.append(PlanePatch(q=c + tread_t * tan - 0.5 * dz * ez,
+                              n=tan, u=rad, v=ez, hu=tread_r, hv=dz / 2))
+    return out
+
+
 def _rotz(a):
     c, s = np.cos(a), np.sin(a)
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
@@ -221,6 +276,51 @@ class LinearTrajectory(Trajectory):
         roll = s * self.wiggle * np.sin(2 * np.pi * 0.5 * te)
         pitch = s * self.wiggle * np.sin(2 * np.pi * 0.33 * te + 1.0)
         return _rotz(yaw) @ _roty(pitch) @ _rotx(roll)
+
+
+class HelixTrajectory(Trajectory):
+    """Stairwell ascent: after `dwell` static seconds on the ground floor,
+    climb a helix of radius `r` at `turn_s` seconds per turn and `climb`
+    m/s, yaw tracking the tangent — sustained ~(360/turn_s) deg/s yaw, the
+    fast-rotation + short-lever-arm regime of a real stair climb."""
+
+    def __init__(self, r: float = 1.0, turn_s: float = 6.0,
+                 climb: float = 0.5, dwell: float = 1.5, ramp: float = 1.0,
+                 z0: float = 1.3, wiggle: float = 0.04):
+        self.r = r
+        self.turn_s = turn_s
+        self.climb = climb
+        self.dwell = dwell
+        self.ramp = ramp
+        self.z0 = z0
+        self.wiggle = wiggle
+
+    def _te(self, t):
+        return max(float(t) - self.dwell, 0.0)
+
+    def _ang(self, te):
+        # angle ramps quadratically over [0, ramp] then linearly
+        w = 2 * np.pi / self.turn_s
+        if te <= 0:
+            return 0.0
+        if te <= self.ramp:
+            return 0.5 * w * te * te / self.ramp
+        return w * (te - 0.5 * self.ramp)
+
+    def pos(self, t):
+        te = self._te(t)
+        a = self._ang(te)
+        z = self.z0 + self.climb * (a / (2 * np.pi)) * self.turn_s
+        return np.array([self.r * np.cos(a), self.r * np.sin(a), z])
+
+    def rot(self, t):
+        te = self._te(t)
+        a = self._ang(te)
+        s = self._s(te)
+        pitch = s * (-0.15 + self.wiggle * np.sin(2 * np.pi * 0.5 * te))
+        roll = s * self.wiggle * np.sin(2 * np.pi * 0.37 * te + 1.0)
+        # face the tangent direction (a + 90 deg)
+        return _rotz(a + np.pi / 2) @ _roty(pitch) @ _rotx(roll)
 
 
 def imu_sample(traj: Trajectory, t: float, h: float = 1e-4):
