@@ -230,6 +230,50 @@ def stairwell_case():
     return results
 
 
+def flight_case():
+    """Fourth hard regime: aggressive outdoor flight (the
+    config/outdoor_fly.yaml profile) — banked figure-8 over the yard world
+    at up to ~12 m/s with ~45 deg coordinated bank, flown ABOVE the
+    buildings looking down. Exercises the outdoor param set (4 m voxels,
+    0.5 m downsample) under high linear+angular rates."""
+    from vina_slam_tpu.core.config import load_config
+    from vina_slam_tpu.sensor.worldgen import yard_world
+
+    dur = float(os.environ.get("FLY_DUR", "12.0"))
+    noise = float(os.environ.get("FLY_NOISE", "0.01"))
+    scene = yard_world(seed=7, clutter=150)
+    traj = synth.FlightTrajectory()
+    frames, gts = synth.simulate_sequence(
+        duration=dur, traj=traj, patches=scene, n_az=180, n_el=12,
+        noise=noise, imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=7,
+        max_range=60.0, el_range=(-1.1, 0.2))
+    print(f"[flight] {len(frames)} frames, figure-8 A=14 B=7 w=0.6 "
+          f"(~12 m/s peak, ~45 deg bank), noise {noise*100:.1f} cm",
+          flush=True)
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "outdoor_fly.yaml"))
+    cfg.tpu.map_capacity = 1 << 15
+    cfg.tpu.fix_pool_capacity = 1 << 15
+    cfg.tpu.max_voxels_ba = 1024
+    cfg.tpu.max_new_voxels = 1024
+    runner, el, peak = run_seq(cfg, frames)
+    ate, rerr, n = seq_metrics(runner, gts, last_session=True,
+                               align_rot=True)
+    from vina_slam_tpu.platform.metrics import rot_rpe_rmse_deg
+    s0 = runner.last_session_start()
+    traj_arr = runner.trajectory()[s0:]
+    Rs = [r[1] for r in runner.traj][s0:]
+    ref_t = np.asarray([t for (t, R, p) in gts])
+    ie, ir = associate(traj_arr[:, 0], ref_t)
+    rpe = rot_rpe_rmse_deg([Rs[i] for i in ie], [gts[j][1] for j in ir],
+                           delta=10)
+    print(f"[flight] ate={ate:.4f} m rot_rmse={rerr:.3f} deg "
+          f"rot_rpe={rpe:.3f} deg/s resets={runner.stats.resets} "
+          f"peak_degrade_cnt={peak} wall={el:.1f}s frames={n}", flush=True)
+    return ate, rerr, rpe
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("corridor", "all"):
@@ -238,3 +282,5 @@ if __name__ == "__main__":
         long_case()
     if which in ("stairwell", "all"):
         stairwell_case()
+    if which in ("flight", "all"):
+        flight_case()

@@ -200,6 +200,55 @@ def test_stairwell_vnc_tracks_fast_rotation():
 
 
 @pytest.mark.slow
+def test_outdoor_flight_tracks_aggressive_motion():
+    """Fourth hard regime (config/outdoor_fly.yaml): a banked figure-8 over
+    the outdoor yard at up to ~12 m/s and ~45 deg coordinated bank, flown
+    above the buildings looking down, on the reference's outdoor parameter
+    set (4 m voxels, 0.5 m downsample, degrade_bound 100). Asserts first-
+    window init (no resets), bounded SE(3)-aligned ATE, and near-zero
+    relative rotation error under ~110 deg/s peak rates."""
+    import os
+
+    from vina_slam_tpu.core.config import load_config
+    from vina_slam_tpu.platform.metrics import (associate, ate_rmse,
+                                                rot_rpe_rmse_deg)
+    from vina_slam_tpu.sensor.worldgen import yard_world
+
+    scene = yard_world(seed=7, clutter=150)
+    traj = synth.FlightTrajectory()
+    frames, gts = synth.simulate_sequence(
+        duration=12.0, traj=traj, patches=scene, n_az=180, n_el=12,
+        noise=0.01, imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=7,
+        max_range=60.0, el_range=(-1.1, 0.2))
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "outdoor_fly.yaml"))
+    cfg.tpu.map_capacity = 1 << 15
+    cfg.tpu.fix_pool_capacity = 1 << 15
+    cfg.tpu.max_voxels_ba = 1024
+    cfg.tpu.max_new_voxels = 1024
+    runner = SlamRunner(cfg, npad_map=4096, fetch_every=8)
+    for f in frames:
+        runner.process_frame(f)
+    runner.sync()
+    assert not runner.motion_init_flag, "flight init failed on the pad"
+    runner.drain_traj()
+    assert runner.stats.resets == 0, "flight should never reset"
+
+    traj_arr = runner.trajectory()
+    Rs = [r[1] for r in runner.traj]
+    ref_t = np.asarray([t for (t, R, p) in gts])
+    ref_p = np.asarray([p for (t, R, p) in gts])
+    ie, ir = associate(traj_arr[:, 0], ref_t)
+    ate = ate_rmse(traj_arr[ie, 1:4], ref_p[ir])
+    rpe = rot_rpe_rmse_deg([Rs[i] for i in ie], [gts[j][1] for j in ir],
+                           delta=10)
+    # measured on CPU: ate=0.052 m, rot_rpe=0.103 deg/s (120 frames)
+    assert ate < 0.15, f"flight ATE too large: {ate:.3f} m"
+    assert rpe < 1.0, f"flight rotation RPE too large: {rpe:.2f} deg/s"
+
+
+@pytest.mark.slow
 def test_sparse_world_init_rejected_like_reference():
     """Root-cause regression for the sparse-scan 'divergence' (round-2
     verdict item 10, the BENCH_NAZ=96 NEL=8 -> 14 m ATE gotcha): at that

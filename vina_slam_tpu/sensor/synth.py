@@ -323,6 +323,69 @@ class HelixTrajectory(Trajectory):
         return _rotz(a + np.pi / 2) @ _roty(pitch) @ _rotx(roll)
 
 
+class FlightTrajectory(Trajectory):
+    """Aggressive outdoor flight — the config/outdoor_fly.yaml regime: after
+    `dwell` static seconds near the ground, climb out into a banked
+    figure-8 (x = A sin th, y = B sin 2th) at up to ~|Aw|+|2Bw| m/s, with
+    coordinated roll (bank angle from lateral acceleration), pitch
+    following the climb angle, and yaw tracking the velocity heading
+    (blended in smoothly from the static attitude so the synthetic IMU
+    stays continuous)."""
+
+    def __init__(self, A: float = 14.0, B: float = 7.0, w: float = 0.6,
+                 z0: float = 1.5, z_mean: float = 6.0, z_amp: float = 2.5,
+                 dwell: float = 1.5, ramp: float = 2.0):
+        self.A = A
+        self.B = B
+        self.w = w
+        self.z0 = z0
+        self.z_mean = z_mean
+        self.z_amp = z_amp
+        self.dwell = dwell
+        self.ramp = ramp
+
+    def _te(self, t):
+        return max(float(t) - self.dwell, 0.0)
+
+    def _ang(self, te):
+        # pattern angle ramps quadratically over [0, ramp] then linearly
+        if te <= 0:
+            return 0.0
+        if te <= self.ramp:
+            return 0.5 * self.w * te * te / self.ramp
+        return self.w * (te - 0.5 * self.ramp)
+
+    def pos(self, t):
+        te = self._te(t)
+        th = self._ang(te)
+        s = self._s(te)
+        x = self.A * np.sin(th)
+        y = self.B * np.sin(2 * th)
+        z = self.z0 + s * (self.z_mean - self.z0
+                           + self.z_amp * np.sin(0.7 * th))
+        return np.array([x, y, z])
+
+    def _vel(self, t, h=1e-3):
+        return (self.pos(t + h) - self.pos(t - h)) / (2 * h)
+
+    def rot(self, t):
+        te = self._te(t)
+        s = self._s(te)
+        v = self._vel(t)
+        a = (self._vel(t + 1e-3) - self._vel(t - 1e-3)) / 2e-3
+        vxy = float(np.hypot(v[0], v[1]))
+        # heading relative to the pattern's initial heading, blended by s
+        # so yaw is continuous through the dwell->flight transition
+        head0 = np.arctan2(2 * self.B, self.A)
+        head = np.arctan2(v[1], v[0]) if vxy > 1e-6 else head0
+        yaw = s * float(np.unwrap([head0, head])[1] - head0)
+        # coordinated bank: lateral (heading-left) acceleration over gravity
+        a_lat = float(-np.sin(head) * a[0] + np.cos(head) * a[1])
+        roll = s * np.arctan2(a_lat, G_M_S2)
+        pitch = -s * np.arctan2(v[2], max(vxy, 1.0))
+        return _rotz(yaw) @ _roty(pitch) @ _rotx(roll)
+
+
 def imu_sample(traj: Trajectory, t: float, h: float = 1e-4):
     """Gyro/accel by central differences of the trajectory:
     gyro = vee(R^T dR/dt), acc = R^T (p_ddot - g_world)."""
