@@ -32,6 +32,7 @@
 #include "vina_slam/ekf_imu.hpp"
 #include "vina_slam/mapping/factors.hpp"
 #include "vina_slam/mapping/optimizers.hpp"
+#include "vina_slam/mapping/voxel_map.hpp"
 #include "vina_slam/preintegration.hpp"
 
 // timing-probe counter incremented by the rclcpp::Clock stub
@@ -521,6 +522,95 @@ int run_iekf(FILE* f) {
   return 0;
 }
 
+// ---------------------------------------------------------------- map
+// Drives the UNMODIFIED reference voxel map (octree.cpp + voxel_map.cpp,
+// linked by the Makefile) through the runner's per-scan sequence
+// (local_mapping.cpp:448-507): cut_voxel -> recut per scan, one margi
+// (which refreshes eigens and calls plane_update, octree.cpp:415-450),
+// then the odometry-path match() (voxel_map.cpp:287-312) for each query.
+// Cross-checked against vina_slam_tpu.mapping.voxel_map by
+// tests/test_reference_oracle.py.
+//
+// Fixture: voxel_size max_layer min_eigen_value max_points min_ba_point
+//          min_point[4]  plane_eigen_value_thre[4] (POST-inversion values)
+//          wdsize win_count mgsize do_margi
+//          win_count x { R(9 row-major) p(3) }
+//          win_count x { Nk  Nk x { pnt(3) var(9) } }   (body frame)
+//          M  M x { wld(3) var_wld(9) }
+// Output per query: flag sigma_d center(3) normal(3) radius eig(3) N
+//                   plane_var(36)   [zeros when flag=0]
+int run_map(FILE* f) {
+  voxel_size = rd(f);
+  max_layer = static_cast<int>(rd(f));
+  min_eigen_value = rd(f);
+  max_points = static_cast<int>(rd(f));
+  min_ba_point = static_cast<int>(rd(f));
+  for (int i = 0; i < 4; i++) min_point[i] = rd(f);
+  plane_eigen_value_thre.resize(4);
+  for (int i = 0; i < 4; i++) plane_eigen_value_thre[i] = rd(f);
+  int wdsize = static_cast<int>(rd(f));
+  int win_count = static_cast<int>(rd(f));
+  int mgsize = static_cast<int>(rd(f));
+  int do_margi = static_cast<int>(rd(f));
+
+  mp.resize(wdsize);
+  for (int i = 0; i < wdsize; i++) mp[i] = i;  // node.cpp:430-434
+
+  std::vector<IMUST> x_buf(wdsize);
+  for (int i = 0; i < win_count; i++) {
+    x_buf[i].R = rd33(f);
+    x_buf[i].p = rd3(f);
+  }
+
+  std::unordered_map<VOXEL_LOC, OctoTree*> feat_map, feat_tem_map;
+  std::vector<SlideWindow*> sws;
+  for (int i = 0; i < win_count; i++) {
+    int n = static_cast<int>(rd(f));
+    PVecPtr pvec = std::make_shared<PVec>();
+    PLV(3) pwld;
+    for (int k = 0; k < n; k++) {
+      pointVar pv;
+      pv.pnt = rd3(f);
+      pv.var = rd33(f);
+      pvec->push_back(pv);
+      pwld.push_back(x_buf[i].R * pv.pnt + x_buf[i].p);
+    }
+    cut_voxel(feat_map, pvec, i, feat_tem_map, wdsize, pwld, sws);
+    // multi_recut analog (local_mapping.cpp:86-143): recut every voxel
+    // touched since the last margi, at the grown window count
+    for (auto& kv : feat_tem_map) kv.second->recut(i + 1, x_buf, sws);
+  }
+  if (do_margi) {
+    LidarFactor voxhess(wdsize);
+    for (auto& kv : feat_tem_map)
+      kv.second->margi(win_count, mgsize, x_buf, voxhess);
+  }
+  emit(static_cast<double>(feat_map.size()));
+
+  int m = static_cast<int>(rd(f));
+  for (int q = 0; q < m; q++) {
+    Eigen::Vector3d wld = rd3(f);
+    Eigen::Matrix3d var_wld = rd33(f);
+    Plane* pla = nullptr;
+    double sigma_d = 0;
+    OctoTree* oc = nullptr;
+    int flag = match(feat_map, wld, pla, var_wld, sigma_d, oc);
+    emit(static_cast<double>(flag));
+    if (flag && pla != nullptr && oc != nullptr) {
+      emit(sigma_d);
+      emit_vec(pla->center);
+      emit_vec(pla->normal);
+      emit(static_cast<double>(pla->radius));
+      emit_vec(oc->eig_value);
+      emit(static_cast<double>(oc->pcr_add.N));
+      emit_mat(pla->plane_var);
+    } else {
+      for (int z = 0; z < 48; z++) emit(0.0);
+    }
+  }
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -540,6 +630,7 @@ int main(int argc, char** argv) {
   if (!strcmp(argv[1], "ekf")) return run_ekf(f);
   if (!strcmp(argv[1], "lm")) return run_lm(f);
   if (!strcmp(argv[1], "lmg")) return run_lmg(f);
+  if (!strcmp(argv[1], "map")) return run_map(f);
   fprintf(stderr, "oracle: unknown mode %s\n", argv[1]);
   return 2;
 }

@@ -19,6 +19,7 @@ struct PointCloud {
   void reserve(std::size_t n) { points.reserve(n); }
   void resize(std::size_t n) { points.resize(n); }
   void push_back(const P& p) { points.push_back(p); }
+  void swap(PointCloud<P>& other) { points.swap(other.points); }
   typename std::vector<P>::iterator begin() { return points.begin(); }
   typename std::vector<P>::iterator end() { return points.end(); }
   typename std::vector<P>::const_iterator begin() const { return points.begin(); }
