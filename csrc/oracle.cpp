@@ -611,6 +611,63 @@ int run_map(FILE* f) {
   return 0;
 }
 
+// ----------------------------------------------------------- scanplane
+// VNC scan-voxel plane extraction: generate_voxel (voxel_map.cpp:169-200,
+// x_curr = identity so both sides see the same frame) + the reference
+// OctoTree::fitScanPlane recursion (octree.cpp:628-684), then the
+// collectScanPlanes quality gates transliterated from odometry.cpp:22-60.
+// Fixture: voxel_size max_layer min_eigen_value thre[4]  N  N x pnt(3)
+// Output: n_planes, then per plane center(3) normal(3) quality sigma_n.
+void collect_scan_planes_ref(OctoTree* node, std::vector<double>& out) {
+  if (node == nullptr) return;
+  if (node->octo_state == 0) {
+    if (node->plane.is_plane && node->eig_value[1] > 1e-12 &&
+        node->eig_value[0] / node->eig_value[1] <= 0.12) {
+      double lsum = node->eig_value[0] + node->eig_value[1] +
+                    node->eig_value[2] + 1e-10;
+      double quality = 1.0 - node->eig_value[0] / lsum;
+      if (quality > 0.5) {
+        Eigen::Vector3d n = node->plane.normal;
+        double nn = n.norm();
+        if (nn >= 1e-12) {
+          n /= nn;
+          for (int k = 0; k < 3; k++) out.push_back(node->plane.center[k]);
+          for (int k = 0; k < 3; k++) out.push_back(n[k]);
+          out.push_back(quality);
+          out.push_back(std::sqrt(std::max(0.0, node->eig_value[0] / lsum)));
+        }
+      }
+    }
+  } else {
+    for (int i = 0; i < 8; i++) collect_scan_planes_ref(node->leaves[i], out);
+  }
+}
+
+int run_scanplane(FILE* f) {
+  voxel_size = rd(f);
+  max_layer = static_cast<int>(rd(f));
+  min_eigen_value = rd(f);
+  plane_eigen_value_thre.resize(4);
+  for (int i = 0; i < 4; i++) plane_eigen_value_thre[i] = rd(f);
+  int n = static_cast<int>(rd(f));
+  PVec pvec(n);
+  for (int k = 0; k < n; k++) {
+    pvec[k].pnt = rd3(f);
+    pvec[k].var.setZero();
+  }
+  IMUST ident;
+  std::unordered_map<VOXEL_LOC, OctoTree*> feat_map;
+  generate_voxel(feat_map, ident, pvec, voxel_size);
+  std::vector<double> out;
+  for (auto& kv : feat_map) {
+    kv.second->fitScanPlane(Eigen::Vector3d::Zero());
+    collect_scan_planes_ref(kv.second, out);
+  }
+  emit(static_cast<double>(out.size() / 8));
+  for (double x : out) emit(x);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -631,6 +688,7 @@ int main(int argc, char** argv) {
   if (!strcmp(argv[1], "lm")) return run_lm(f);
   if (!strcmp(argv[1], "lmg")) return run_lmg(f);
   if (!strcmp(argv[1], "map")) return run_map(f);
+  if (!strcmp(argv[1], "scanplane")) return run_scanplane(f);
   fprintf(stderr, "oracle: unknown mode %s\n", argv[1]);
   return 2;
 }

@@ -823,3 +823,50 @@ def test_voxel_map_matches_reference(oracle_bin, tmp_path):
     assert (dots > 1 - 5e-5).all(), f"normal mismatch: min dot {dots.min()}"
     np.testing.assert_allclose(sig[both], ref["sigma"][both], rtol=0.05,
                                atol=1e-7)
+
+
+def test_scan_plane_extraction_matches_reference(oracle_bin, tmp_path):
+    """VNC scan-voxel planes: the reference generate_voxel + fitScanPlane +
+    collectScanPlanes chain (voxel_map.cpp:169-200, octree.cpp:628-684,
+    odometry.cpp:22-60, compiled/transliterated in csrc/oracle 'scanplane')
+    vs extract_scan_planes (pipeline/odometry.py) on the same scan."""
+    import jax.numpy as jnp
+
+    from vina_slam_tpu.pipeline import odometry as odom
+
+    rng = np.random.default_rng(13)
+    pts = _map_world(rng, n_floor=700, n_wall=250, n_slant=350)
+
+    thre = [0.25, 0.25, 0.25, 0.25]
+    txt = _fmt([1.0, 2, 0.01], thre, [len(pts)])
+    for p in pts:
+        txt += _fmt(p)
+    out = _run_oracle(oracle_bin, "scanplane", txt, tmp_path)
+    n_ref = int(out[0])
+    ref = out[1:1 + 8 * n_ref].reshape(n_ref, 8)
+
+    sp = odom.extract_scan_planes(
+        jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool),
+        jnp.asarray(1.0, jnp.float32), jnp.asarray(0.01, jnp.float32),
+        tuple(thre), levels=3)
+    v = np.asarray(sp.valid)
+    ours_c = np.asarray(sp.center)[v]
+    ours_n = np.asarray(sp.normal)[v]
+    ours_q = np.asarray(sp.quality)[v]
+    ours_s = np.asarray(sp.sigma_n)[v]
+
+    # same plane count (f32 vs f64 may flip a gate-boundary voxel)
+    assert abs(len(ours_c) - n_ref) <= 1, (len(ours_c), n_ref)
+
+    # every reference plane has our plane at the same center
+    matched = 0
+    for r in ref:
+        d = np.linalg.norm(ours_c - r[:3], axis=1)
+        i = int(np.argmin(d))
+        if d[i] > 5e-3:
+            continue
+        matched += 1
+        assert abs(ours_n[i] @ r[3:6]) > 1 - 1e-4
+        np.testing.assert_allclose(ours_q[i], r[6], rtol=2e-3)
+        np.testing.assert_allclose(ours_s[i], r[7], rtol=5e-2, atol=1e-5)
+    assert matched >= n_ref - 1, f"only {matched}/{n_ref} planes matched"
