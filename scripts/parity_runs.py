@@ -74,10 +74,15 @@ def main():
 
         # synthesize with the profile's own extrinsics: scan points come out
         # in the LIDAR frame and the pipeline maps them through ext_R/ext_p
+        # point_notime profiles model a snapshot sensor (TartanAir: one
+        # depth-camera frame per stamp, no per-point time to deskew with) —
+        # cast all columns from the frame-stamp pose (span=0); spinning
+        # profiles sweep over 100 ms like the real devices
         events, gts = synth.simulate_events(
             duration=duration, n_az=360, n_el=16, noise=0.005,
             imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4,
-            ext_R=cfg.ext_R, ext_p=cfg.ext_p)
+            ext_R=cfg.ext_R, ext_p=cfg.ext_p,
+            span=0.0 if cfg.odometry.point_notime else None)
 
         # serialize to a genuine rosbag2 sqlite bag in the vendor format
         scans = [(ev[1].stamp, ev[1].pts, ev[1].rel_time)
@@ -144,6 +149,23 @@ def main():
             scans_per_sec=round(n / elapsed, 2), decoder=dec_match))
         print(f"    frames={n} init={init_ok} ate={ate*1e3:.2f}mm "
               f"rate={n/elapsed:.2f}/s dec={dec_match}", flush=True)
+
+    # a PARITY_ONLY run merges into the existing table (keyed by profile)
+    # so adding one profile doesn't drop the others' recorded rows
+    if only and os.path.exists(out_md):
+        import re
+        with open(out_md) as f:
+            for line in f:
+                m = re.match(
+                    r"\| (\w+) \| (\d+) \| (\d+) \| (\w+) \| ([\d.nan]+) \|"
+                    r" ([\d.nan]+) \| ([\d.]+) \| (\S+) \|", line)
+                if m and m.group(1) not in [r["profile"] for r in rows]:
+                    rows.append(dict(
+                        profile=m.group(1), lidar_type=int(m.group(2)),
+                        frames=int(m.group(3)), init=m.group(4),
+                        ate_mm=float(m.group(5)), rpe_mm=float(m.group(6)),
+                        scans_per_sec=float(m.group(7)), decoder=m.group(8)))
+        rows.sort(key=lambda r: r["profile"])
 
     with open(out_md, "w") as f:
         f.write(

@@ -357,6 +357,11 @@ class ImuEkf:
         self.last_pcl_end_time = end_time
 
         if self.point_notime or pts.shape[0] == 0:
+            # no per-point times -> no IMU compensation, but the reference
+            # still maps points lidar->IMU frame (initialization.cpp:114-123:
+            # pv.pnt = extrin_para.R * pv.pnt + extrin_para.p)
+            if pts.shape[0]:
+                pts = pts.astype(np.float64) @ self.ext_R.T + self.ext_p
             return 1, x_new, pts, cond
 
         offt_arr = pad(np.asarray(offts), ())

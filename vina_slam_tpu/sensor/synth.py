@@ -502,12 +502,18 @@ def simulate_events(
     static_lead: float = 1.0,
     max_range: float = 80.0,
     el_range=(-0.35, 0.35),
+    span: float | None = None,
 ):
     """Raw time-ordered sensor events BEFORE frame assembly: a list of
     ("imu", t, gyr, acc_gunits) and ("scan", DecodedScan) entries plus
     ground truth [(t, R, p)] at scan-end times. Feed to a FrameAssembler
     (simulate_sequence) or serialize into a rosbag2 via
-    platform/rosbag_write.write_sequence_bag (the PARITY_RUNS path)."""
+    platform/rosbag_write.write_sequence_bag (the PARITY_RUNS path).
+
+    span: sweep duration of one scan; None = spinning lidar
+    (min(0.1, scan period)). Use 0.0 for snapshot sensors (all columns
+    cast from one pose at the frame stamp — the TartanAir/point_notime
+    model, where no per-point time exists to deskew with)."""
     traj = traj or Trajectory()
     patches = patches if patches is not None else default_world()
     rng = np.random.default_rng(seed)
@@ -523,7 +529,7 @@ def simulate_events(
     events += [(t, "scan") for t in scan_starts]
     events.sort(key=lambda e: (e[0], e[1] == "imu"))
 
-    span = min(0.1, scan_dt)
+    span = min(0.1, scan_dt) if span is None else float(span)
     for t, kind in events:
         if kind == "imu":
             tau = max(t - start_time, 0.0)  # trajectory time (ramped)
