@@ -146,25 +146,35 @@ def main():
             profile=name, lidar_type=g.lidar_type, frames=n,
             init="ok" if init_ok else "FAIL",
             ate_mm=round(ate * 1e3, 2), rpe_mm=round(rpe * 1e3, 2),
-            scans_per_sec=round(n / elapsed, 2), decoder=dec_match))
+            scans_per_sec=round(n / elapsed, 2), decoder=dec_match,
+            dur_s=round(duration, 1)))
         print(f"    frames={n} init={init_ok} ate={ate*1e3:.2f}mm "
               f"rate={n/elapsed:.2f}/s dec={dec_match}", flush=True)
 
     # a PARITY_ONLY run merges into the existing table (keyed by profile)
-    # so adding one profile doesn't drop the others' recorded rows
+    # so adding one profile doesn't drop the others' recorded rows; each row
+    # carries its own duration so merged rows keep the protocol they were
+    # actually measured under (split on '|' — no char-class regex)
     if only and os.path.exists(out_md):
-        import re
+        have = {r["profile"] for r in rows}
         with open(out_md) as f:
             for line in f:
-                m = re.match(
-                    r"\| (\w+) \| (\d+) \| (\d+) \| (\w+) \| ([\d.nan]+) \|"
-                    r" ([\d.nan]+) \| ([\d.]+) \| (\S+) \|", line)
-                if m and m.group(1) not in [r["profile"] for r in rows]:
+                cells = [c.strip() for c in line.split("|")]
+                # | profile | type | frames | init | ate | rpe | scans/s
+                # | decoder | dur |  -> 11 cells incl. leading/trailing ''
+                if len(cells) != 11 or not cells[2].isdigit():
+                    continue
+                if cells[1] in have:
+                    continue
+                try:
                     rows.append(dict(
-                        profile=m.group(1), lidar_type=int(m.group(2)),
-                        frames=int(m.group(3)), init=m.group(4),
-                        ate_mm=float(m.group(5)), rpe_mm=float(m.group(6)),
-                        scans_per_sec=float(m.group(7)), decoder=m.group(8)))
+                        profile=cells[1], lidar_type=int(cells[2]),
+                        frames=int(cells[3]), init=cells[4],
+                        ate_mm=float(cells[5]), rpe_mm=float(cells[6]),
+                        scans_per_sec=float(cells[7]), decoder=cells[8],
+                        dur_s=float(cells[9])))
+                except ValueError:
+                    continue
         rows.sort(key=lambda r: r["profile"])
 
     with open(out_md, "w") as f:
@@ -178,19 +188,19 @@ def main():
             "FrameAssembler -> SlamRunner (the `cli.py run --bag` path).\n\n"
             "No network egress in this environment, so sequences are "
             "synthetic (sensor/synth.py raycaster; ~8 m indoor world, "
-            f"{duration:.0f} s, 10 Hz scans, 200 Hz IMU in g-units, each "
-            "generated THROUGH the profile's own extrinsics) — formats, "
-            "decoders, sync, and the full estimation stack are the "
-            "production path. ATE/RPE are against the simulator ground "
-            "truth.\n\n"
+            "10 Hz scans, 200 Hz IMU in g-units, each generated THROUGH "
+            "the profile's own extrinsics; per-row duration in the last "
+            "column) — formats, decoders, sync, and the full estimation "
+            "stack are the production path. ATE/RPE are against the "
+            "simulator ground truth.\n\n"
             "| profile | lidar type | frames | init | ATE RMSE (mm) | "
-            "RPE RMSE (mm) | scans/s | decoder py=native |\n"
-            "|---|---|---|---|---|---|---|---|\n")
+            "RPE RMSE (mm) | scans/s | decoder py=native | dur (s) |\n"
+            "|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['profile']} | {r['lidar_type']} | {r['frames']} "
-                    f"| {r['init']} | {r['ate_mm']} | {r['rpe_mm']} | "
-                    f"| {r['scans_per_sec']} | {r['decoder']} |\n".replace(
-                        "| | ", "| "))
+                    f"| {r['init']} | {r['ate_mm']} | {r['rpe_mm']} "
+                    f"| {r['scans_per_sec']} | {r['decoder']} "
+                    f"| {r.get('dur_s', duration)} |\n")
         f.write(
             "\nThe scans/s column is the cold replay rate (each profile "
             "compiles its own program shapes on first use); steady-state "

@@ -166,21 +166,25 @@ class TestProfileProgramSharing:
 
         root = pathlib.Path(__file__).resolve().parent.parent / "configs"
         keys = {}
-        layers = {}
+        structs = {}
         for y in sorted(root.glob("*.yaml")):
             cfg = load_config(str(y))
             r = SlamRunner(cfg, npad_map=4096)
             keys[y.stem] = r.fused_program_key()
-            layers[y.stem] = int(cfg.local_ba.max_layer)
-        # every profile with the same max_layer shares ONE program key —
+            structs[y.stem] = (int(cfg.local_ba.max_layer),
+                               bool(cfg.odometry.point_notime))
+        # every profile with the same STRUCTURE (max_layer; point_notime,
+        # which adds/removes the deskew stage) shares ONE program key —
         # down_size (outdoor_fly: 0.5 vs 0.1), error model, and plane gates
         # are traced, not static
-        by_layer = {}
+        by_struct = {}
         for name, k in keys.items():
-            by_layer.setdefault(layers[name], set()).add(k)
+            by_struct.setdefault(structs[name], set()).add(k)
         assert len(keys) >= 6
-        for lay, ks in by_layer.items():
-            assert len(ks) == 1, f"max_layer={lay} profiles diverge: {ks}"
+        for struct, ks in by_struct.items():
+            assert len(ks) == 1, f"structure={struct} profiles diverge: {ks}"
+        # the 8 shipped profiles collapse to at most 3 compiled programs
+        assert len(set(keys.values())) <= 3
         # and the tuning knobs really are traced: the static tuple contains
         # no floats
         for k in keys.values():

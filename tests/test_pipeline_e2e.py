@@ -82,6 +82,59 @@ def test_e2e_three_factor_ba():
 
 
 @pytest.mark.slow
+def test_e2e_point_notime():
+    """Snapshot-sensor (TartanAir-style) sequence: span=0 scans, frame times
+    synthesized from inter-frame gaps (sync.cpp:43-56), NO per-point deskew
+    (imu_ekf.cpp:108). Round-3 regression pinned here: the fused steady path
+    deskewed rel_time=0 points by the full inter-frame motion (9.8 m ATE on
+    the tartanair profile, PARITY_RUNS round 3), and the modular notime
+    branch double-applied the extrinsic — so this runs with a NON-identity
+    extrinsic."""
+    from vina_slam_tpu.sensor.sync import FrameAssembler
+
+    ext_R = np.asarray(
+        [[0.9992, -0.0400, 0.0], [0.0400, 0.9992, 0.0], [0.0, 0.0, 1.0]])
+    # re-orthonormalize the hand-rounded rotation
+    u, _, vt = np.linalg.svd(ext_R)
+    ext_R = u @ vt
+    ext_p = np.asarray([0.05, -0.02, 0.03])
+
+    events, gts = synth.simulate_events(
+        duration=4.0, n_az=180, n_el=12, noise=0.005,
+        imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4,
+        ext_R=ext_R, ext_p=ext_p, span=0.0)
+    asm = FrameAssembler(point_notime=True)
+    frames = []
+    for ev in events:
+        if ev[0] == "imu":
+            asm.push_imu(ev[1], ev[2], ev[3])
+        else:
+            asm.push_scan(ev[1])
+        f = asm.try_assemble()
+        if f is not None:
+            frames.append(f)
+    assert len(frames) >= 30
+
+    cfg = small_cfg()
+    cfg.odometry.point_notime = 1
+    cfg.general.extrinsic_rota = ext_R.reshape(-1).tolist()
+    cfg.general.extrinsic_tran = ext_p.tolist()
+    runner = SlamRunner(cfg, npad_map=8192)
+    for f in frames:
+        runner.process_frame(f)
+
+    assert not runner.motion_init_flag, "initialization must succeed"
+    traj = runner.trajectory()
+    from vina_slam_tpu.platform.metrics import associate
+    ref_t = np.asarray([t for (t, R, p) in gts])
+    ref_p = np.asarray([p for (t, R, p) in gts])
+    ie, ir = associate(traj[:, 0], ref_t)
+    assert len(ie) >= 20
+    err = ate_rmse(traj[ie, 1:4], ref_p[ir])
+    assert err < 0.05, f"point_notime ATE RMSE {err:.4f} m too large"
+
+
+@pytest.mark.slow
 def test_e2e_plain_iekf():
     """Same sequence through the plain (non-VNC, 20-iteration) IEKF path
     selected via Odometry.use_vnc=0 (odometry.cpp:64-68: the reference

@@ -357,11 +357,14 @@ class ImuEkf:
         self.last_pcl_end_time = end_time
 
         if self.point_notime or pts.shape[0] == 0:
-            # no per-point times -> no IMU compensation, but the reference
-            # still maps points lidar->IMU frame (initialization.cpp:114-123:
-            # pv.pnt = extrin_para.R * pv.pnt + extrin_para.p)
-            if pts.shape[0]:
-                pts = pts.astype(np.float64) @ self.ext_R.T + self.ext_p
+            # no per-point times -> no IMU compensation; points stay RAW
+            # lidar-frame (imu_ekf.cpp:108 skips the backward loop, and the
+            # timed path's _deskew maps back to the lidar frame too) —
+            # downstream var_init applies the extrinsic exactly once.
+            # (Round-3 bug: an extra ext_R/ext_p transform here double-applied
+            # the extrinsic on any notime profile with non-identity extrinsics;
+            # initialization.cpp:114-123 is Initialization::motion_blur, which
+            # initialization.py already ports.)
             return 1, x_new, pts, cond
 
         offt_arr = pad(np.asarray(offts), ())

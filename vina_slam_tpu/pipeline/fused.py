@@ -101,10 +101,10 @@ def steady_step(
     # statics — program STRUCTURE only
     ms: vm.MapStatic, W: int, Vmax: int,
     cfgs,  # hashable tuple: (if_ba, npad_map, max_iter_ba,
-           #                  use_normal, use_vnc)
+           #                  use_normal, use_vnc, point_notime)
     stop_after: str = "all",  # profiling bisect: compile a prefix program
 ):
-    (if_ba, npad_map, ba_iters, use_normal, use_vnc) = cfgs
+    (if_ba, npad_map, ba_iters, use_normal, use_vnc, point_notime) = cfgs
     x = st.x
 
     # ---------------- EKF propagation + deskew ----------------
@@ -113,10 +113,17 @@ def steady_step(
         avr_gyr, avr_acc, dt_i, offt_i, valid_i,
         cov_gyr, cov_acc, cov_bg, cov_ba, scale_gravity, end_minus_last)
     x = x._replace(R=R_end, p=p_end, v=v_end, cov=cov, t=scan_end_t)
-    n_valid_i = jnp.sum(valid_i)
-    deskewed = ekf_mod._deskew(
-        pts, rel_time, pts_valid, pose_table, offt_i, n_valid_i,
-        R_end, p_end, ext_R, ext_p)
+    if point_notime:
+        # vendors without per-point stamps (rel_time all zero) get NO motion
+        # compensation (imu_ekf.cpp:108 skips the backward loop entirely);
+        # points stay raw lidar-frame — var_init below applies the extrinsic
+        # exactly once, same as the timed path whose _deskew maps back.
+        deskewed = pts
+    else:
+        n_valid_i = jnp.sum(valid_i)
+        deskewed = ekf_mod._deskew(
+            pts, rel_time, pts_valid, pose_table, offt_i, n_valid_i,
+            R_end, p_end, ext_R, ext_p)
     if stop_after == "prop":  # bisect point: propagation + deskew only
         k = min(deskewed.shape[0], st.win_pts.shape[1])
         return st._replace(

@@ -90,8 +90,19 @@ def _init_deskew_jit(x_R, x_p, x_v, g, bg, ba, gyr_mid, acc_mid, dt_neg, offt,
 
 
 def init_deskew(x, bg, ba, imu, beg_time, pts, rel_time, pts_valid,
-                ext_R, ext_p, scale_gravity):
-    """Host wrapper building the backward interval arrays (cpp:76-107)."""
+                ext_R, ext_p, scale_gravity, point_notime=False):
+    """Host wrapper building the backward interval arrays (cpp:76-107).
+
+    point_notime: no per-point stamps -> NO IMU compensation, only the
+    lidar->IMU extrinsic map (initialization.cpp:114-123). Can NOT be left
+    to the rel_time=0 fallback inside the jit: the prepended conditioned
+    IMU sample sits at offt == 0.0 exactly, so searchsorted(…, 0.0, right)
+    picks the earliest backward pose and compensates every point by the
+    full inter-frame motion."""
+    if point_notime:
+        out = (jnp.asarray(pts, jnp.float64) @ jnp.asarray(ext_R).T
+               + jnp.asarray(ext_p))
+        return out.astype(pts.dtype)
     K = IMU_BUCKET
     t, g_arr, a_arr = imu.t, imu.gyr, imu.acc
     n = len(t) - 1

@@ -252,7 +252,7 @@ class SlamRunner:
         use_normal = bool(lb.use_normal)
         return (bool(self.cfg.general.if_BA), int(self.npad_map),
                 3 if use_normal else 10, use_normal,
-                bool(o.use_vnc))
+                bool(o.use_vnc), bool(o.point_notime))
 
     def fused_program_key(self):
         """Everything that selects a compiled fused-step program: two
@@ -687,7 +687,8 @@ class SlamRunner:
                     self.x_buf[i], np.asarray(self.x_buf[l].bg),
                     np.asarray(self.x_buf[l].ba), self.vec_imus[i],
                     self.beg_times[i], pts_i, rel_i, valid_i,
-                    cfg.ext_R, cfg.ext_p, self.imupre_scale_gravity)
+                    cfg.ext_R, cfg.ext_p, self.imupre_scale_gravity,
+                    point_notime=bool(cfg.odometry.point_notime))
                 self.win_pts = self.win_pts.at[i].set(body)
                 self.win_valid = self.win_valid.at[i].set(valid_i)
 
