@@ -5,6 +5,18 @@
 
 namespace pcl {
 
+struct PointXYZI {
+  union {
+    struct {
+      float x, y, z;
+    };
+    float data[4];
+  };
+  float intensity;
+
+  PointXYZI() : data{0, 0, 0, 1}, intensity(0) {}
+};
+
 struct PointXYZINormal {
   union {
     struct {

@@ -200,3 +200,41 @@ def test_multiseq_sharded_step_matches_individual(world, mesh):
                                    np.asarray(ref[k].jour),
                                    rtol=1e-6, err_msg=f"seq {k}")
     assert np.asarray(out.traj_head).tolist() == [1] * NDEV
+
+
+def test_packed_step_matches_unpacked(world):
+    """steady_step_packed (the 3-transfer production path) must be
+    bit-identical to steady_step on the same frame: the pack is pure
+    relayout (scan (Np,5) f32 / imu (K,17) f64 / scalars (2,))."""
+    from vina_slam_tpu.pipeline import fused
+
+    ms, params, m, _ = world
+    W = 4
+    Vmax = 32
+    st0, args, cfgs = ge.build_fused_fixture(m, ms, params, W=W, Vmax=Vmax,
+                                             seed=3)
+    (pts, rel, valid, avr_gyr, avr_acc, dt_i, offt_i, valid_i,
+     end_minus_last, scan_end_t, gm, am, dtm, vmsk, *consts) = args
+
+    out_ref = fused.steady_step(st0, *args, ms=ms, W=W, Vmax=Vmax, cfgs=cfgs)
+
+    Np = pts.shape[0]
+    scan_pack = jnp.concatenate(
+        [pts, rel[:, None],
+         valid.astype(jnp.float32)[:, None]], axis=1)
+    imu_pack = jnp.concatenate(
+        [avr_gyr, avr_acc, dt_i[:, None], offt_i[:, None],
+         valid_i.astype(jnp.float64)[:, None], gm, am, dtm[:, None],
+         vmsk.astype(jnp.float64)[:, None]], axis=1)
+    assert imu_pack.shape[1] == fused.IMU_PACK_COLS
+    scal = jnp.stack([end_minus_last.astype(jnp.float64),
+                      scan_end_t.astype(jnp.float64)])
+    out_pk = jax.jit(
+        fused._steady_step_packed,
+        static_argnames=("ms", "W", "Vmax", "cfgs", "stop_after"))(
+        st0, scan_pack, imu_pack, scal, *consts,
+        ms=ms, W=W, Vmax=Vmax, cfgs=cfgs)
+
+    for a, b in zip(jax.tree_util.tree_leaves(out_ref),
+                    jax.tree_util.tree_leaves(out_pk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

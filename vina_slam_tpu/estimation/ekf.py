@@ -185,16 +185,12 @@ def build_intervals(last_imu, last_pcl_end_time, beg_time, end_time,
     gs = np.concatenate([[last_imu[1]], imu.gyr])
     accs = np.concatenate([[last_imu[2]], imu.acc])
 
-    avr_g, avr_a, dts, offts = [], [], [], []
-    for i in range(len(ts) - 1):
-        if ts[i] < last_pcl_end_time - 1e-12:
-            continue
-        cur = max(ts[i], last_pcl_end_time)
-        avr_g.append(0.5 * (gs[i] + gs[i + 1]))
-        avr_a.append(0.5 * (accs[i] + accs[i + 1]))
-        dts.append(ts[i + 1] - cur)
-        offts.append(cur - beg_time)
-    n = len(dts)
+    # vectorized interval build (this runs on the host EVERY frame — the
+    # per-sample Python loop was a measurable slice of the 12 ms/frame
+    # packaging cost scripts/host_overhead.py flagged)
+    keep = ts[:-1] >= last_pcl_end_time - 1e-12
+    cur = np.maximum(ts[:-1][keep], last_pcl_end_time)
+    n = int(keep.sum())
     K = pick_imu_bucket(n, bucket)
 
     def pad(a, shape=()):
@@ -204,10 +200,10 @@ def build_intervals(last_imu, last_pcl_end_time, beg_time, end_time,
         return out
 
     arrays = dict(
-        avr_gyr=pad(np.stack(avr_g) if n else [], (3,)),
-        avr_acc=pad(np.stack(avr_a) if n else [], (3,)),
-        dt=pad(np.asarray(dts)),
-        offt=pad(np.asarray(offts)),
+        avr_gyr=pad(0.5 * (gs[:-1][keep] + gs[1:][keep]), (3,)),
+        avr_acc=pad(0.5 * (accs[:-1][keep] + accs[1:][keep]), (3,)),
+        dt=pad(ts[1:][keep] - cur),
+        offt=pad(cur - beg_time),
         valid=np.arange(K) < n,
         end_minus_last=end_time - ts[-1],
     )

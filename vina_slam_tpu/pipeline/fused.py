@@ -353,3 +353,42 @@ steady_step_donated = partial(
     jax.jit, static_argnames=("ms", "W", "Vmax", "cfgs", "stop_after"),
     donate_argnums=(0,),
 )(steady_step.__wrapped__)
+
+
+# Packed-argument production path: the unpacked signature costs ~27 host->
+# device transfers per frame (~12 ms of a 33 ms frame through the tunnel —
+# measured by scripts/host_overhead.py). Here the per-frame payload arrives
+# as THREE buffers (scan_pack (Np, 5) f32; imu_pack (K, 17) f64; scal (2,)
+# f64) and everything else is a device-resident constant the runner uploads
+# once (SlamRunner._fused_consts), so the host does 3 puts + 1 dispatch.
+IMU_PACK_COLS = 17   # avr_gyr 3 | avr_acc 3 | dt | offt | valid
+                     # | pm_gyr 3 | pm_acc 3 | pm_dt | pm_valid
+
+
+def _steady_step_packed(st, scan_pack, imu_pack, scal,
+                        params, noise_meas, noise_walk, cov_gyr, cov_acc,
+                        cov_bg, cov_ba, ext_R, ext_p, scale_gravity,
+                        imu_coef, down_size, dept_err, beam_err,
+                        ms, W, Vmax, cfgs, stop_after="all"):
+    pts = scan_pack[:, 0:3]
+    rel_time = scan_pack[:, 3]
+    pts_valid = scan_pack[:, 4] > 0.5
+    avr_gyr, avr_acc = imu_pack[:, 0:3], imu_pack[:, 3:6]
+    dt_i, offt_i = imu_pack[:, 6], imu_pack[:, 7]
+    valid_i = imu_pack[:, 8] > 0.5
+    pm_gyr, pm_acc = imu_pack[:, 9:12], imu_pack[:, 12:15]
+    pm_dt = imu_pack[:, 15]
+    pm_valid = imu_pack[:, 16] > 0.5
+    return steady_step.__wrapped__(
+        st, pts, rel_time, pts_valid,
+        avr_gyr, avr_acc, dt_i, offt_i, valid_i, scal[0], scal[1],
+        pm_gyr, pm_acc, pm_dt, pm_valid,
+        params, noise_meas, noise_walk, cov_gyr, cov_acc, cov_bg, cov_ba,
+        ext_R, ext_p, scale_gravity, imu_coef, down_size, dept_err, beam_err,
+        ms=ms, W=W, Vmax=Vmax, cfgs=cfgs, stop_after=stop_after)
+
+
+steady_step_packed_donated = partial(
+    jax.jit, static_argnames=("ms", "W", "Vmax", "cfgs", "stop_after"),
+    donate_argnums=(0,),
+)(_steady_step_packed)

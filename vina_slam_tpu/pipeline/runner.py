@@ -170,6 +170,7 @@ class SlamRunner:
         self.win_valid = jnp.zeros((self.W, Np), bool)
         self.motion_init_flag = True
         self._fused = None
+        self._fused_consts = None  # scale_gravity may change on re-init
         self._pending_rows = 0
         self.jour = 0.0
         self.last_pos = np.zeros(3)
@@ -262,12 +263,11 @@ class SlamRunner:
         return (self.ms, self.W, self.cfg.tpu.max_voxels_ba,
                 self.fused_static_cfgs())
 
-    def fused_args(self, frame: Frame, imu_bucket: int | None = None):
-        """Host-side packaging of one frame into steady_step's positional
-        args (after the state). Returns None when the frame spans no IMU
-        interval. Shared by the single-sequence driver and the batched
-        multi-sequence driver (parallel/multiseq.py — which forces a fixed
-        imu_bucket so per-sequence args stack)."""
+    def _frame_host_arrays(self, frame: Frame, imu_bucket: int | None = None):
+        """Shared host-side interval/midpoint computation for one frame.
+        Returns (arrays, gm, am, dtm, vmsk) numpy buckets of equal K, or
+        None when the frame spans no IMU interval. Advances the EKF stream
+        cursor either way (matching the reference's consume-always loop)."""
         from vina_slam_tpu.estimation.ekf import build_intervals, midpoint_arrays
 
         ekf = self.ekf
@@ -294,6 +294,40 @@ class SlamRunner:
         if len(gm) != K:
             gm, am, dtm, vm_ = midpoint_arrays(cond, bucket=K)
         self._imu_sticky = max(self._imu_sticky, K)
+        return arrays, gm, am, dtm, vm_
+
+    def fused_consts(self):
+        """The constant tail of steady_step's signature, uploaded ONCE and
+        reused every frame (these were ~15 fresh host->device puts per frame
+        before — half the measured 12 ms/frame packaging cost)."""
+        if getattr(self, "_fused_consts", None) is None:
+            self._fused_consts = (
+                self.params, jnp.asarray(self.noise_meas),
+                jnp.asarray(self.noise_walk),
+                jnp.asarray(np.asarray(self.ekf.cov_gyr)),
+                jnp.asarray(np.asarray(self.ekf.cov_acc)),
+                jnp.asarray(np.asarray(self.ekf.cov_bias_gyr)),
+                jnp.asarray(np.asarray(self.ekf.cov_bias_acc)),
+                jnp.asarray(self.cfg.ext_R), jnp.asarray(self.cfg.ext_p),
+                jnp.asarray(float(self.imupre_scale_gravity)),
+                jnp.asarray(float(self.cfg.local_ba.imu_coef)),
+                jnp.asarray(float(self.cfg.odometry.down_size), jnp.float32),
+                jnp.asarray(float(self.cfg.odometry.dept_err), jnp.float32),
+                jnp.asarray(float(self.cfg.odometry.beam_err), jnp.float32),
+            )
+        return self._fused_consts
+
+    def fused_args(self, frame: Frame, imu_bucket: int | None = None):
+        """Host-side packaging of one frame into steady_step's positional
+        args (after the state). Returns None when the frame spans no IMU
+        interval. Used by the batched multi-sequence drivers
+        (parallel/multiseq.py — which force a fixed imu_bucket so
+        per-sequence args stack); the single-sequence driver takes the
+        3-transfer fused_args_packed path instead."""
+        host = self._frame_host_arrays(frame, imu_bucket)
+        if host is None:
+            return None
+        arrays, gm, am, dtm, vm_ = host
         full_pts, full_rel, full_valid = pad_points(frame.scan.pts,
                                                     frame.scan.rel_time)
         return (
@@ -303,27 +337,49 @@ class SlamRunner:
             jnp.asarray(arrays["valid"]), jnp.asarray(arrays["end_minus_last"]),
             jnp.asarray(float(frame.end_time)),
             jnp.asarray(gm), jnp.asarray(am), jnp.asarray(dtm), jnp.asarray(vm_),
-            self.params, jnp.asarray(self.noise_meas), jnp.asarray(self.noise_walk),
-            jnp.asarray(np.asarray(self.ekf.cov_gyr)),
-            jnp.asarray(np.asarray(self.ekf.cov_acc)),
-            jnp.asarray(np.asarray(self.ekf.cov_bias_gyr)),
-            jnp.asarray(np.asarray(self.ekf.cov_bias_acc)),
-            jnp.asarray(self.cfg.ext_R), jnp.asarray(self.cfg.ext_p),
-            jnp.asarray(float(self.imupre_scale_gravity)),
-            jnp.asarray(float(self.cfg.local_ba.imu_coef)),
-            jnp.asarray(float(self.cfg.odometry.down_size), jnp.float32),
-            jnp.asarray(float(self.cfg.odometry.dept_err), jnp.float32),
-            jnp.asarray(float(self.cfg.odometry.beam_err), jnp.float32),
+            *self.fused_consts(),
         )
+
+    def fused_args_packed(self, frame: Frame, imu_bucket: int | None = None):
+        """3-transfer per-frame payload for steady_step_packed_donated:
+        scan_pack (Np, 5) f32, imu_pack (K, IMU_PACK_COLS) f64, scal (2,)
+        f64. Returns None when the frame spans no IMU interval."""
+        from vina_slam_tpu.pipeline.fused import IMU_PACK_COLS
+
+        host = self._frame_host_arrays(frame, imu_bucket)
+        if host is None:
+            return None
+        arrays, gm, am, dtm, vm_ = host
+        pts = frame.scan.pts
+        n = pts.shape[0]
+        b = pick_bucket(n)
+        scan_pack = np.zeros((b, 5), np.float32)
+        scan_pack[:n, 0:3] = pts
+        scan_pack[:n, 3] = frame.scan.rel_time
+        scan_pack[:n, 4] = 1.0
+        K = len(gm)
+        imu_pack = np.zeros((K, IMU_PACK_COLS))
+        imu_pack[:, 0:3] = arrays["avr_gyr"]
+        imu_pack[:, 3:6] = arrays["avr_acc"]
+        imu_pack[:, 6] = arrays["dt"]
+        imu_pack[:, 7] = arrays["offt"]
+        imu_pack[:, 8] = arrays["valid"]
+        imu_pack[:, 9:12] = gm
+        imu_pack[:, 12:15] = am
+        imu_pack[:, 15] = dtm
+        imu_pack[:, 16] = vm_
+        scal = np.asarray([arrays["end_minus_last"], float(frame.end_time)])
+        return (jnp.asarray(scan_pack), jnp.asarray(imu_pack),
+                jnp.asarray(scal))
 
     def _steady_fused(self, frame: Frame):
         from vina_slam_tpu.pipeline import fused
 
-        args = self.fused_args(frame)
+        args = self.fused_args_packed(frame)
         if args is None:
             return None
-        self._fused = fused.steady_step_donated(
-            self._fused, *args,
+        self._fused = fused.steady_step_packed_donated(
+            self._fused, *args, *self.fused_consts(),
             ms=self.ms, W=self.W, Vmax=self.cfg.tpu.max_voxels_ba,
             cfgs=self._cfgs,
         )
