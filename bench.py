@@ -196,7 +196,10 @@ def main():
         # known-rejected 96x8 world trips; see verify SKILL.md)
         d_dur, d_az, d_el = "2.5", "120", "8"
     else:
-        d_dur, d_az, d_el = (("12.0", "360", "16") if big
+        # BENCH_BIG: realistic Mid-360-class scan density (>=20k raw pts/
+        # scan through the FULL-RES odometry cloud — the reference keeps
+        # both the full and downsampled clouds, local_mapping.cpp:396-410)
+        d_dur, d_az, d_el = (("8.0", "1024", "20") if big
                              else ("4.0", "180", "12"))
     duration = float(os.environ.get("BENCH_DURATION", d_dur))
     n_az = int(os.environ.get("BENCH_NAZ", d_az))
@@ -248,6 +251,16 @@ def main():
     # 1024 (scripts/lm_stats.py); BENCH_MAX_VOXELS_BA trials right-sizing
     cfg.tpu.max_voxels_ba = int(os.environ.get("BENCH_MAX_VOXELS_BA", "1024"))
     cfg.tpu.max_new_voxels = 1024
+    d_npad = "3072"
+    if big:
+        # a 20k-ray sweep of the room resolves ~8k unique 0.1 m surface
+        # voxels; larger tables + BA pad to match
+        cfg.tpu.map_capacity = 1 << 16
+        cfg.tpu.fix_pool_capacity = 1 << 16
+        cfg.tpu.max_new_voxels = 4096
+        cfg.tpu.max_voxels_ba = int(os.environ.get("BENCH_MAX_VOXELS_BA",
+                                                   "2048"))
+        d_npad = "8192"
 
     def warm_runner(seed):
         """Build a runner + sequence, run init + 3 steady frames; return
@@ -267,9 +280,11 @@ def main():
             frames, gts = synth.simulate_sequence(
                 duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
                 imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=seed)
-        # map-push bucket: the downsampled cloud is ~2-3k points at these
-        # settings; 4096 halves every (W, Np) window op vs the 8192 default
-        runner = SlamRunner(cfg, npad_map=4096)
+        # map-push bucket: the downsampled cloud is ~2.2k points at these
+        # settings (the <2000 half-size retry fires and lands ~2160);
+        # 3072 cuts every (W, Np) window op 25% vs 4096
+        runner = SlamRunner(cfg, npad_map=int(os.environ.get(
+            "BENCH_NPAD_MAP", d_npad)))
         warmup = 0
         split = len(frames)
         STATE["phase"] = f"warmup(seed={seed})"

@@ -34,7 +34,7 @@ def main():
     cfg.tpu.fix_pool_capacity = 1 << 15
     cfg.tpu.max_voxels_ba = 1024
     cfg.tpu.max_new_voxels = 1024
-    runner = SlamRunner(cfg, npad_map=4096)
+    runner = SlamRunner(cfg, npad_map=int(__import__("os").environ.get("NPAD", "3072")))
 
     warm = 0
     split = len(frames)

@@ -58,6 +58,10 @@ class OdometryConfig:
     # reference exposes both via LioStateEstimation(pptr, use_vnc) with
     # iteration budgets at src/pipeline/odometry.cpp:64-68.
     use_vnc: int = 1
+    # 0 = reference budgets (4 VNC / 20 plain, odometry.cpp:64-68); >0
+    # forces that many IEKF iterations — the equal-budget A/B knob for the
+    # VNC-vs-plain separation study (scripts/vnc_ab.py)
+    iekf_max_iter: int = 0
 
 
 @dataclass

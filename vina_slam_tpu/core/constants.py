@@ -25,8 +25,12 @@ I32 = np.int32
 
 # --- padding / bucketing policy (TPU static shapes) ---
 # Every scan is padded up to one of these sizes so each bucket hits exactly one
-# compiled XLA program (BASELINE.md "compile stability" target).
-SCAN_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536, 131072)
+# compiled XLA program (BASELINE.md "compile stability" target). 3072/6144
+# are half-step buckets: the common indoor scan shapes (~2.2k and ~5k pts)
+# sat just above a power of two and paid ~45% pad slack in every per-point
+# stage (deskew, downsample, IEKF match, window push).
+SCAN_BUCKETS = (2048, 3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768,
+                65536, 131072)
 IMU_BUCKET = 128         # max IMU samples per scan interval (10 Hz scan, up to 1 kHz IMU)
 IMU_BUCKETS = (32, IMU_BUCKET)  # pad-to-bucket sizes: a 200 Hz IMU yields ~21
                                 # samples/scan; the log-depth scans over the

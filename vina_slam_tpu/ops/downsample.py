@@ -25,11 +25,12 @@ _SENTINEL = jnp.int64(0x7FFFFFFFFFFFFFFF)
 def _seg_hash(pts, valid, voxel, out_size: int):
     """Voxelize via a fresh int32-fingerprint table (see
     vh.fingerprint32 for the collision tradeoff): returns
-    (occupied (K,), seg (N,) in [0,K]). The table is 2x out_size to keep
-    the load factor low (hash clustering at load ~0.5 cost ~10 insert
-    rounds); occupied slots are then compacted into out_size rows."""
-    assert out_size & (out_size - 1) == 0, "out_size must be a power of two"
-    T = 2 * out_size
+    (occupied (K,), seg (N,) in [0,K]). The table is >=2x out_size (next
+    power of two — the probe sequence masks by T-1) to keep the load
+    factor low (hash clustering at load ~0.5 cost ~10 insert rounds);
+    occupied slots are then compacted into out_size rows, which may be any
+    size (half-step scan buckets like 3072)."""
+    T = 1 << (2 * out_size - 1).bit_length()
     coords = vh.coords_of(pts, voxel)
     fp = vh.fingerprint32(vh.encode(0, coords))
     tbl, slots, _ = vh.insert_keys32(

@@ -100,11 +100,12 @@ def steady_step(
     down_size, dept_err, beam_err,
     # statics — program STRUCTURE only
     ms: vm.MapStatic, W: int, Vmax: int,
-    cfgs,  # hashable tuple: (if_ba, npad_map, max_iter_ba,
-           #                  use_normal, use_vnc, point_notime)
+    cfgs,  # hashable tuple: (if_ba, npad_map, max_iter_ba, use_normal,
+           #                  use_vnc, point_notime, iekf_iters)
     stop_after: str = "all",  # profiling bisect: compile a prefix program
 ):
-    (if_ba, npad_map, ba_iters, use_normal, use_vnc, point_notime) = cfgs
+    (if_ba, npad_map, ba_iters, use_normal, use_vnc, point_notime,
+     iekf_iters) = cfgs
     x = st.x
 
     # ---------------- EKF propagation + deskew ----------------
@@ -162,8 +163,7 @@ def steady_step(
     else:
         planes = odom.empty_scan_planes()
     res = odom.iekf_update(x, st.m, odo_body, odo_var, pts_valid, planes,
-                           params, ms, max_iter=4 if use_vnc else 20,
-                           use_vnc=use_vnc)
+                           params, ms, max_iter=iekf_iters, use_vnc=use_vnc)
     x = res.x
     degrade_cnt = jnp.where(res.ok, jnp.maximum(st.degrade_cnt - 1, 0),
                             st.degrade_cnt + 1)

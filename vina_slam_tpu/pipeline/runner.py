@@ -236,9 +236,16 @@ class SlamRunner:
             from vina_slam_tpu.estimation.preintegration import _zero
             pre_st = jax.tree_util.tree_map(
                 lambda a: jnp.stack([a] * (W - 1)), _zero())
+        # the fused state OWNS its buffers (steady_step donates them):
+        # seeding it with the modular arrays directly would leave
+        # self.map/self.x_curr/... pointing at deleted buffers after the
+        # first step (caught by tests/test_faults.py readback asserts)
+        cp = jnp.copy
         self._fused = fused.make_steady_state(
-            self.map, self.pool, self.x_curr, xs, pre_st,
-            self.win_pts, self.win_var, self.win_valid,
+            jax.tree_util.tree_map(cp, self.map),
+            jax.tree_util.tree_map(cp, self.pool),
+            jax.tree_util.tree_map(cp, self.x_curr), xs, pre_st,
+            cp(self.win_pts), cp(self.win_var), cp(self.win_valid),
             self.win_count, self.jour, np.asarray(self.x_curr.p),
             scan_idx=self.win_base + self.win_count)
         self._traj_base = len(self.traj)
@@ -251,9 +258,10 @@ class SlamRunner:
         tuning share one compiled program (plane gates are traced via params)."""
         o, lb = self.cfg.odometry, self.cfg.local_ba
         use_normal = bool(lb.use_normal)
+        iekf_iters = int(o.iekf_max_iter) or (4 if o.use_vnc else 20)
         return (bool(self.cfg.general.if_BA), int(self.npad_map),
                 3 if use_normal else 10, use_normal,
-                bool(o.use_vnc), bool(o.point_notime))
+                bool(o.use_vnc), bool(o.point_notime), iekf_iters)
 
     def fused_program_key(self):
         """Everything that selects a compiled fused-step program: two
@@ -409,14 +417,19 @@ class SlamRunner:
             return
         self.drain_traj()  # traj store + x_curr + degrade counter
         f = self._fused
-        self.map, self.pool = f.m, f.pool
+        # COPY every mirrored leaf: the production step DONATES the fused
+        # SteadyState, so aliased views become deleted arrays on the next
+        # process_frame (caught by tests/test_faults.py readback-after-sync)
+        copy = jnp.copy
+        self.map = jax.tree_util.tree_map(copy, f.m)
+        self.pool = jax.tree_util.tree_map(copy, f.pool)
         self.win_pts, self.win_var, self.win_valid = (
-            f.win_pts, f.win_var, f.win_valid)
+            copy(f.win_pts), copy(f.win_var), copy(f.win_valid))
         wc = int(f.win_count)
         self.win_count = wc
         self.win_base = int(f.scan_idx) - wc
-        self.x_curr = f.x
-        self.x_buf = [jax.tree_util.tree_map(lambda a, i=i: a[i], f.xs)
+        self.x_curr = jax.tree_util.tree_map(copy, f.x)
+        self.x_buf = [jax.tree_util.tree_map(lambda a, i=i: copy(a[i]), f.xs)
                       for i in range(wc)]
         self.pre_buf = [jax.tree_util.tree_map(lambda a, i=i: a[i], f.pre_f)
                         for i in range(max(wc - 1, 0))]
@@ -440,7 +453,8 @@ class SlamRunner:
                for r in rows]
         self.traj = self.traj[: self._traj_base + start] + out
         self._pending_rows = 0
-        self.x_curr = self._fused.x
+        # copy, don't alias: the fused state is donated on the next step
+        self.x_curr = jax.tree_util.tree_map(jnp.copy, self._fused.x)
         self.stats.degrade_cnt = int(self._fused.degrade_cnt)
 
     # ------------------------------------------------------------- steady
@@ -478,7 +492,9 @@ class SlamRunner:
 
         res = odom.iekf_update(
             self.x_curr, self.map, odo_body, odo_var, full_valid, planes,
-            self.params, self.ms, max_iter=4 if use_vnc else 20,
+            self.params, self.ms,
+            max_iter=int(self.cfg.odometry.iekf_max_iter)
+            or (4 if use_vnc else 20),
             use_vnc=use_vnc)
         self.x_curr = res.x
         if bool(res.ok):
