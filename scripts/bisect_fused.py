@@ -2,6 +2,8 @@
 compiles prefix programs of steady_step (static stop_after) against one
 real steady state + frame, so each stage's cost is measured exactly as it
 executes inside the full program (fusion context, real data)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import time
 

@@ -2,6 +2,8 @@
 fused_args packaging (numpy loops + ~30 jnp.asarray device puts) vs the
 dispatch call vs device compute. Decides the 'consolidate per-frame small
 transfers' lever."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import time
 

@@ -2,7 +2,11 @@
 real TPU (each jitted standalone — fusion context differs from the full
 program, so treat as upper/lower bound hints, not exact stage costs)."""
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

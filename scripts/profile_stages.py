@@ -1,6 +1,8 @@
 """Per-stage device timing on the real TPU: runs the modular pipeline to a
 steady state, then times each jitted stage in isolation (block_until_ready
 fenced). Pinpoints where the per-scan budget goes."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import time
 

@@ -1,6 +1,8 @@
 """Diagnostics on a real steady-state frame (TPU): recut wave count /
 straggler population, LM iteration count, downsample fill — decides the
 round-4 device-side levers (extra split waves? LM early exit? pad slack)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import time
 

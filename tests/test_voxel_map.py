@@ -563,3 +563,179 @@ class TestRecutCounts:
         for name, a, b in zip(f_own._fields, f_own, f_fm):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6, err_msg=name)
+
+
+class TestWinMoments:
+    """The persistent per-(frame, slot) moment table (vm.WinMoments) must
+    track the from-scratch segment-sum across pose nudges, window shifts,
+    reassignments, and subdivisions — the incremental recut path's whole
+    correctness story."""
+
+    def _world(self, r, n):
+        a = TestRecut._plane_cloud(TestRecut(), n // 2, [0, 0, 1], 0.4,
+                                   extent=5.0)
+        b = TestRecut._plane_cloud(TestRecut(), n - n // 2, [1, 0, 0], 4.4,
+                                   extent=5.0)
+        return np.concatenate([a, b]).astype(np.float32)
+
+    def test_incremental_matches_scratch(self):
+        from vina_slam_tpu.core import so3
+
+        r = np.random.default_rng(7)
+        W, Np = 3, 600
+        ms = vm.MapStatic(capacity=1 << 12, levels=3, probe=16,
+                          max_new=1024, pool_capacity=1 << 12)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        m = vm.make_map(ms)
+        pool = vm.make_pool(ms)
+
+        bodies = [self._world(r, Np) for _ in range(W)]
+        Rs = np.tile(np.eye(3), (W, 1, 1))
+        ps = np.zeros((W, 3))
+        valid = np.ones((W, Np), bool)
+        valid[:, :: 17] = False          # some padding rows
+        win_var = jnp.tile(jnp.asarray(
+            [1e-4, 0, 0, 1e-4, 0, 1e-4], jnp.float32)[None, None],
+            (W, Np, 1))
+
+        mom = vm.make_win_moments(W, ms)
+        cached = np.full((W, Np), -1, np.int32)
+        jour = jnp.asarray(0.0, jnp.float32)
+
+        for step in range(5):
+            # BA-like nudge of every pose + a fresh last frame
+            dR = so3.exp(jnp.asarray(r.normal(0, 2e-3, (W, 3))))
+            Rs_new = np.asarray(jnp.asarray(Rs) @ dR)
+            ps_new = ps + r.normal(0, 5e-3, (W, 3))
+            # the fused step re-tags right after BA; mimic that here
+            mom = vm._mom_retag(
+                vm.WinMoments(cols=mom.cols, R=jnp.asarray(Rs),
+                              p=jnp.asarray(ps)),
+                m, par, jnp.asarray(Rs_new), jnp.asarray(ps_new))
+            Rs, ps = Rs_new, ps_new
+            win_w = np.einsum("wij,wnj->wni", Rs, np.stack(bodies)) + ps[:, None, :]
+            win_w = np.where(valid[..., None], win_w, 1e7).astype(np.float32)
+            new_mask = np.zeros((W, Np), bool)
+            new_mask[W - 1] = step == 0  # frames enter via the roll below
+
+            args = (m, pool, jnp.asarray(win_w), jnp.asarray(valid), par,
+                    ms, W, jour)
+            kw = dict(cached=jnp.asarray(cached), win_var=win_var,
+                      new_mask=jnp.asarray(new_mask), return_counts=True,
+                      return_frame_moments=True)
+            m_i, pool_i, slots_i, _, win_n_i, accf_i = vm.recut(
+                *args, **kw, mom=mom.cols)
+            m_s, pool_s, slots_s, _, win_n_s, accf_s = vm.recut(*args, **kw)
+
+            np.testing.assert_array_equal(np.asarray(slots_i),
+                                          np.asarray(slots_s))
+            np.testing.assert_allclose(np.asarray(accf_i), np.asarray(accf_s),
+                                       rtol=3e-3, atol=3e-3)
+            np.testing.assert_array_equal(np.asarray(m_i.is_plane),
+                                          np.asarray(m_s.is_plane))
+            np.testing.assert_allclose(np.asarray(m_i.eig_val),
+                                       np.asarray(m_s.eig_val),
+                                       rtol=5e-3, atol=5e-4)
+            # carry the INCREMENTAL outputs forward
+            m, pool = m_i, pool_i
+            mom = vm.WinMoments(cols=accf_i, R=jnp.asarray(Rs),
+                                p=jnp.asarray(ps))
+            cached = np.asarray(slots_i)
+
+            # window shift: drop frame 0, append a new frame
+            bodies = bodies[1:] + [self._world(r, Np)]
+            Rs = np.roll(Rs, -1, axis=0)
+            ps = np.roll(ps, -1, axis=0)
+            ps[W - 1] = ps[W - 2] + [0.05, 0.02, 0.0]
+            valid = np.roll(valid, -1, axis=0)
+            cached = np.roll(cached, -1, axis=0)
+            cached[W - 1] = -1
+            mom = vm.WinMoments(
+                cols=jnp.roll(mom.cols, -1, axis=0).at[W - 1].set(0.0),
+                R=jnp.roll(mom.R, -1, axis=0), p=jnp.roll(mom.p, -1, axis=0))
+
+    def test_evict_remaps_table(self):
+        """evict(win_slots=..., win_mom=...) must relocate both so the
+        invariant (table cell <-> assignment) survives the rebuild."""
+        r = np.random.default_rng(9)
+        W, Np = 2, 400
+        ms = vm.MapStatic(capacity=1 << 12, levels=2, probe=16,
+                          max_new=1024, pool_capacity=1 << 12,
+                          evict_dist=10.0)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        m = vm.make_map(ms)
+        pool = vm.make_pool(ms)
+        pts = self._world(r, Np)
+        win = jnp.asarray(np.stack([pts, pts + [0.01, 0, 0]]), jnp.float32)
+        valid = jnp.ones((W, Np), bool)
+        m, pool, slots, _, _, accf = vm.recut(
+            m, pool, win, valid, par, ms, W, jnp.asarray(0.0, jnp.float32),
+            return_counts=True, return_frame_moments=True)
+        # nothing is stale at jour=5 < 10: rebuild keeps every voxel
+        m2, pool2, slots2, mom2 = vm.evict(
+            m, pool, jnp.asarray(5.0, jnp.float32), par, ms,
+            win_slots=slots, win_mom=accf)
+        ok = np.asarray(slots) >= 0
+        assert (np.asarray(slots2)[ok] >= 0).all()
+        # the moved table row contents must follow their voxels
+        old = np.asarray(accf)
+        new = np.asarray(mom2)
+        s_old = np.asarray(slots)
+        s_new = np.asarray(slots2)
+        for f in range(W):
+            sel = s_old[f] >= 0
+            np.testing.assert_allclose(new[f][s_new[f][sel]],
+                                       old[f][s_old[f][sel]], rtol=1e-6)
+
+    def test_margi_with_table_matches_pointwise(self):
+        """margi(tbl=...) must equal the per-point segment-sum margi when the
+        table is re-tagged to the same (post-BA) poses."""
+        from vina_slam_tpu.core import so3
+
+        r = np.random.default_rng(13)
+        W, Np = 3, 500
+        ms = vm.MapStatic(capacity=1 << 12, levels=2, probe=16,
+                          max_new=1024, pool_capacity=1 << 12)
+        par = params(voxel_size=2.0, min_eigen_value=0.01)
+        m = vm.make_map(ms)
+        pool = vm.make_pool(ms)
+        bodies = np.stack([self._world(r, Np) for _ in range(W)])
+        R0 = np.tile(np.eye(3), (W, 1, 1))
+        p0 = np.cumsum(r.normal(0, 0.02, (W, 3)), axis=0)
+        valid = jnp.ones((W, Np), bool)
+        win0 = jnp.asarray(np.einsum("wij,wnj->wni", R0, bodies)
+                           + p0[:, None, :], jnp.float32)
+        m, pool, slots, _, _, accf = vm.recut(
+            m, pool, win0, valid, par, ms, W, jnp.asarray(0.0, jnp.float32),
+            return_counts=True, return_frame_moments=True)
+
+        # BA-like nudge, then world points + table under the NEW poses
+        dR = np.asarray(so3.exp(jnp.asarray(r.normal(0, 1e-3, (W, 3)))))
+        R1 = np.einsum("wij,wjk->wik", R0, dR)
+        p1 = p0 + r.normal(0, 2e-3, (W, 3))
+        win1 = jnp.asarray(np.einsum("wij,wnj->wni", R1, bodies)
+                           + p1[:, None, :], jnp.float32)
+        tbl1 = vm._mom_retag(
+            vm.WinMoments(cols=accf, R=jnp.asarray(R0), p=jnp.asarray(p0)),
+            m, par, jnp.asarray(R1), jnp.asarray(p1)).cols
+        wvar = jnp.tile(jnp.asarray(
+            [1e-4, 0, 0, 1e-4, 0, 1e-4], jnp.float32)[None, None], (W, Np, 1))
+        jour = jnp.asarray(0.0, jnp.float32)
+        m_t, pool_t = vm.margi(m, pool, slots, win1, wvar, valid, par, ms,
+                               jour, mgsize=1, tbl=tbl1)
+        m_p, pool_p = vm.margi(m, pool, slots, win1, wvar, valid, par, ms,
+                               jour, mgsize=1)
+        np.testing.assert_allclose(np.asarray(m_t.fix_N),
+                                   np.asarray(m_p.fix_N), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(m_t.fix_P),
+                                   np.asarray(m_p.fix_P), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(m_t.plane_normal),
+                                   np.asarray(m_p.plane_normal),
+                                   rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(m_t.plane_var),
+                                   np.asarray(m_p.plane_var),
+                                   rtol=2e-2, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(m_t.sealed),
+                                      np.asarray(m_p.sealed))
+        np.testing.assert_array_equal(np.asarray(pool_t.valid),
+                                      np.asarray(pool_p.valid))

@@ -88,13 +88,27 @@ def _propagate(
     Q = Q.at[:, 9:12, 9:12].set(jnp.diag(cov_bg).astype(f32) * dt322)
     Q = Q.at[:, 12:15, 12:15].set(jnp.diag(cov_ba).astype(f32) * dt322)
 
+    # Only the TERMINAL (F, Q) composition is consumed (cov at scan end), so
+    # a pairwise tree REDUCTION replaces the earlier associative_scan: the
+    # scan computed every prefix (K batched (15,15) matmul-triples per
+    # level), the reduction halves the batch each level (2K triples total,
+    # ~log2(K)x less MXU work for the same result). Padding intervals are
+    # exact identities (dt=0 -> F=I, Q=0), so power-of-two padding is free.
     def comp(c1, c2):  # apply c1 first, then c2
         F1, Q1 = c1
         F2, Q2 = c2
         return bmm(F2, F1), sandwich(F2, Q1) + Q2
 
-    Fc, Qc = jax.lax.associative_scan(comp, (F, Q))
-    cov = (Fc[-1] @ cov0.astype(f32) @ Fc[-1].T + Qc[-1]).astype(cov0.dtype)
+    Kp = 1 << (K - 1).bit_length()
+    Ft, Qt = F, Q
+    if Kp != K:
+        pad = Kp - K
+        Ft = jnp.concatenate(
+            [Ft, jnp.broadcast_to(jnp.eye(DIM, dtype=f32), (pad, DIM, DIM))])
+        Qt = jnp.concatenate([Qt, jnp.zeros((pad, DIM, DIM), f32)])
+    while Ft.shape[0] > 1:
+        Ft, Qt = comp((Ft[0::2], Qt[0::2]), (Ft[1::2], Qt[1::2]))
+    cov = (Ft[0] @ cov0.astype(f32) @ Ft[0].T + Qt[0]).astype(cov0.dtype)
     cov = 0.5 * (cov + cov.T)   # exact symmetry for downstream Cholesky
 
     R, p, v = R_incl[-1], p_incl[-1], v_incl[-1]

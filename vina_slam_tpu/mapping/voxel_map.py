@@ -613,6 +613,97 @@ def _plane_judge(eig, level, params: MapParams):
     return (eig[..., 0] < params.min_eigen_value) & (ratio < thre)
 
 
+# ------------------------------------------------- persistent window moments
+
+class WinMoments(NamedTuple):
+    """Persistent per-(window-frame, slot) moment table — the TPU analog of
+    the reference's SlideWindow per-voxel clusters (slide_window.hpp:7-20,
+    octree.cpp:115-140). cols[f, s] holds the voxel-CENTER-relative world
+    moment columns [xx, xy, xz, yy, yz, zz, x, y, z, n] of frame f's points
+    assigned to slot s, valid under the tag poses (R, p). Pose updates
+    re-tag the whole table in closed form (PointCluster::transform,
+    core/types.hpp:168-174) instead of re-running the full window
+    segment-sum every scan; point (re)assignments apply compacted
+    scatter deltas."""
+    cols: jnp.ndarray   # (W, C, 10) f32
+    R: jnp.ndarray      # (W, 3, 3) f64 — poses the columns are valid under
+    p: jnp.ndarray      # (W, 3) f64
+
+
+def make_win_moments(W: int, ms: MapStatic) -> WinMoments:
+    return WinMoments(
+        cols=jnp.zeros((W, ms.capacity, 10), jnp.float32),
+        R=jnp.tile(jnp.eye(3, dtype=jnp.float64)[None], (W, 1, 1)),
+        p=jnp.zeros((W, 3), jnp.float64))
+
+
+def _slot_center_cols(m: VoxelMap, params: MapParams):
+    """Dense (C,) world-center components straight from the decoded meta
+    columns (no self-gather; same construction as margi's plane centers)."""
+    lvA = jnp.maximum(m.vox_level, 0).astype(jnp.float32)
+    edge = params.voxel_size / (2.0 ** lvA)
+    cx = (m.vox_coords[:, 0].astype(jnp.float32) + 0.5) * edge
+    cy = (m.vox_coords[:, 1].astype(jnp.float32) + 0.5) * edge
+    cz = (m.vox_coords[:, 2].astype(jnp.float32) + 0.5) * edge
+    return cx, cy, cz
+
+
+def _mom_retag(mom: WinMoments, m: VoxelMap, params: MapParams, Rs, ps):
+    """Rigid-transform every (frame, slot) cell from the tag poses to
+    (Rs, ps): if the pose delta maps world points x' = dR x + dt, then
+    center-relative offsets map rel' = dR rel + b with
+    b_{f,s} = (dR_f - I) c_s + dt_f, so (exactly, per cell)
+        M' = dR M dR^T + (dR u) b^T + b (dR u)^T + n b b^T
+        u' = dR u + n b.
+    dR - I is formed in f64 (the delta is ~1e-6 after a BA nudge; f32
+    subtraction of two near-identity rotations would lose it), then the
+    (W, C)-dense column math runs in f32."""
+    cols = mom.cols
+    dR64 = Rs @ jnp.swapaxes(mom.R, -1, -2)                  # (W, 3, 3) f64
+    D64 = dR64 - jnp.eye(3, dtype=jnp.float64)
+    dt64 = ps - jnp.einsum("wij,wj->wi", dR64, mom.p)
+    dR = dR64.astype(jnp.float32)
+    D = D64.astype(jnp.float32)
+    dt = dt64.astype(jnp.float32)
+
+    cx, cy, cz = _slot_center_cols(m, params)                 # (C,) each
+    cvec = (cx, cy, cz)
+    from vina_slam_tpu.core.pointcov import SYM3
+    M = [[cols[..., SYM3[a][b]] for b in range(3)] for a in range(3)]
+    u = [cols[..., 6 + a] for a in range(3)]
+    n = cols[..., 9]
+
+    b = [sum(D[:, a, k, None] * cvec[k][None, :] for k in range(3))
+         + dt[:, a, None] for a in range(3)]                  # (W, C) x3
+    v = [sum(dR[:, a, k, None] * u[k] for k in range(3)) for a in range(3)]
+    RM = [[sum(dR[:, a, k, None] * M[k][c] for k in range(3))
+           for c in range(3)] for a in range(3)]
+    out = [None] * 10
+    for a in range(3):
+        for c in range(a, 3):
+            rmr = sum(RM[a][k] * dR[:, c, k, None] for k in range(3))
+            out[SYM3[a][c]] = (rmr + v[a] * b[c] + b[a] * v[c]
+                               + n * b[a] * b[c])
+        out[6 + a] = v[a] + n * b[a]
+    out[9] = n
+    return WinMoments(cols=jnp.stack(out, axis=-1), R=Rs, p=ps)
+
+
+def _mom_scatter(tbl, f_id, slots, rel, ok, sign, C):
+    """Scatter-add signed moment columns of a compacted point batch into the
+    (W, C, 10) table at (frame, slot) cells."""
+    W = tbl.shape[0]
+    x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
+    one = jnp.ones_like(x)
+    cols = jnp.stack([x * x, x * y, x * z, y * y, y * z, z * z, x, y, z, one],
+                     axis=-1)
+    w = jnp.where(ok, jnp.float32(sign), jnp.float32(0.0))
+    cols = cols * w[:, None]
+    sid = jnp.where(ok, f_id * C + slots, W * C)
+    return tbl.reshape(W * C, 10).at[sid].add(
+        cols, mode="drop").reshape(W, C, 10)
+
+
 # ----------------------------------------------------------------- recut
 
 @partial(jax.jit, static_argnames=("ms", "win", "debug", "return_counts",
@@ -620,7 +711,7 @@ def _plane_judge(eig, level, params: MapParams):
 def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
           ms: MapStatic, win: int, jour, cached=None, win_var=None,
           new_mask=None, debug: bool = False, return_counts: bool = False,
-          return_frame_moments: bool = False):
+          return_frame_moments: bool = False, mom=None):
     """Re-fit planes / subdivide after pose updates.
 
     cached: optional (W, Np) i32 leaf slots from the previous recut (-1 =
@@ -647,7 +738,18 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     inside the split-triggered waves. Returns (map, pool, slots (W, Np),
     levels (W, Np)); return_counts appends the final wave's per-slot window
     point counts (C,), return_frame_moments appends its per-(frame, slot)
-    moment columns (W, C, 10) — extract_factors' payload (frame_moments)."""
+    moment columns (W, C, 10) — extract_factors' payload (frame_moments).
+
+    mom: the PERSISTENT window-moment path (requires cached): the (W, C, 10)
+    moment table from the previous scan, ALREADY valid under the poses that
+    produced win_pts_w (callers re-tag after BA via _mom_retag; between BA
+    steps poses don't move). Only (re)assigned points apply compacted
+    scatter deltas — the full W*Np-point `_seg_cols_frames` segment-sum
+    disappears from every wave. The caller stores the returned frame-moment
+    table for the next scan. Overflow semantics differ ONLY for
+    verify-misses beyond refind_cap whose previous slot is still a live
+    leaf: they KEEP that (stale but table-consistent) assignment for this
+    wave instead of dropping to -1, and trigger a straggler wave."""
     C = ms.capacity
     W, Np, _ = win_pts_w.shape
     flat_w = win_pts_w.reshape(-1, 3)
@@ -672,12 +774,18 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         return m._replace(cov_add=m.cov_add.at[tgt].add(
             B.astype(m.cov_add.dtype), mode="drop"))
 
-    def refit(m, slots):
-        lv_pt, centers, _ = slot_meta(m, slots, params)
-        rel = flat_w - centers
-        # per-(frame, slot) central-moment columns; the final wave's table
-        # IS extract_factors' per-(voxel, frame) payload (return_frame_moments)
-        accf = _seg_cols_frames(slots, rel, flat_v, C, W)  # (W, C, 10)
+    def refit(m, slots, tbl=None):
+        if tbl is None:
+            lv_pt, centers, _ = slot_meta(m, slots, params)
+            rel = flat_w - centers
+            # per-(frame, slot) central-moment columns; the final wave's
+            # table IS extract_factors' payload (return_frame_moments)
+            accf = _seg_cols_frames(slots, rel, flat_v, C, W)  # (W, C, 10)
+        else:
+            # persistent path: the table already reflects this wave's
+            # assignment; levels come from one narrow column gather
+            lv_pt = jnp.maximum(m.vox_level[jnp.maximum(slots, 0)], 0)
+            accf = tbl
         acc = accf.sum(axis=0).T                           # (10, C)
 
         # The plane refit runs DENSE over all C slots in flat-column
@@ -745,17 +853,24 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         # segment sum (return_counts)
         return m, lv_pt, unfinished, wN, accf
 
-    def assign_cached(m, prev):
+    Npts = flat_v.shape[0]
+    Np_f = Npts // W
+
+    def assign_cached(m, prev, tbl=None):
         """Verify a previous flat slot assignment (one gather + key compare,
         ~5x cheaper than the 3-level probe descent) and fully re-descend only
         the misses, compacted to refind_cap (a new frame's worth plus slack).
         Overflow misses keep slot -1 this wave and are picked up by the next
-        (straggler) wave, whose verify also fails for them.
+        (straggler) wave, whose verify also fails for them. (Persistent-
+        table path: overflow misses whose previous slot is a live leaf keep
+        it instead, so the table stays consistent; see recut docstring.)
 
         Bf accounting (when win_var is given): a re-descended point adds its
         Bf_var to the new leaf iff (a) it had no slot yet and is a fresh
         insert (new_mask: OctoTree::push) or (b) its previous slot just
-        split (subdivide's re-push, octree.cpp:283-300)."""
+        split (subdivide's re-push, octree.cpp:283-300).
+
+        Returns (m, slots, tbl, dropped_any)."""
         sc = jnp.maximum(prev, 0)
         r = m.meta_pack[sc]              # one packed row gather
         lv_c = r[:, 0]
@@ -782,10 +897,53 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
             bf_ok = sub_valid & (sub_slots >= 0) & (
                 was_split[sel] | ((prev[sel] == -1) & flat_new[sel]))
             m = add_bf(m, sel, bf_ok, sub_slots)
-        slots = jnp.where(ok_cached, prev, -1)
-        tgt = jnp.where(sub_valid, rows, prev.shape[0])
+        if tbl is None:
+            slots = jnp.where(ok_cached, prev, -1)
+            tgt = jnp.where(sub_valid, rows, Npts)
+            slots = slots.at[tgt].set(sub_slots, mode="drop")
+            return m, slots, None, jnp.asarray(False)
+
+        # ---- persistent-table maintenance ----
+        selmask = jnp.zeros(Npts + 1, bool).at[
+            jnp.where(sub_valid, rows, Npts)].set(True)[:Npts]
+        # cap-overflow misses: keep a still-live-leaf previous slot (stale
+        # but consistent with the table); dead/split/fresh ones drop to -1
+        # and their stale contribution is subtracted below would be wrong —
+        # they are NOT subtracted (not in the compacted set), so keep ONLY
+        # live leaves and flag a straggler wave for everything dropped
+        prev_live = (prev >= 0) & key_ok & (st_c == 0)
+        dropped = need & ~selmask
+        keep_stale = dropped & prev_live
+        slots = jnp.where(ok_cached | keep_stale, prev, -1)
+        tgt = jnp.where(sub_valid, rows, Npts)
         slots = slots.at[tgt].set(sub_slots, mode="drop")
-        return m, slots
+
+        f_sel = (sel // Np_f).astype(jnp.int32)
+        v_sel = sub_valid & flat_v[sel]
+        prev_sel = prev[sel]
+        # subtract the re-descended points from their previous cells (their
+        # rel offsets under the CURRENT poses — the retag made the stored
+        # contributions exactly these, up to f32 roundoff)
+        _, c_prev, _ = slot_meta(m, prev_sel, params)
+        tbl = _mom_scatter(tbl, f_sel, jnp.maximum(prev_sel, 0),
+                           sub_pts - c_prev, v_sel & (prev_sel >= 0),
+                           -1.0, C)
+        # ... and add them at their new cells
+        _, c_new, _ = slot_meta(m, sub_slots, params)
+        tbl = _mom_scatter(tbl, f_sel, jnp.maximum(sub_slots, 0),
+                           sub_pts - c_new, v_sel & (sub_slots >= 0),
+                           1.0, C)
+        # a dropped point that could NOT keep its slot lost its table
+        # contribution-to-assignment consistency only if it had one and we
+        # didn't subtract it — that case (dead prev slot beyond the cap) has
+        # prev pointing at a freed/split row whose cell no longer aggregates
+        # (split parents hold no window points after their wave), so the
+        # stale mass self-corrects when the straggler wave re-descends it.
+        return m, slots, tbl, jnp.any(dropped)
+
+    tbl0 = mom
+    if mom is not None:
+        assert cached is not None, "persistent moments require cached slots"
 
     if cached is None:
         m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour,
@@ -795,9 +953,11 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
             rows0 = vh.compact_indices(ins, ms.refind_cap, -1)
             sel0 = jnp.maximum(rows0, 0)
             m = add_bf(m, sel0, rows0 >= 0, slots[sel0])
+        dropped = jnp.asarray(False)
     else:
-        m, slots = assign_cached(m, cached.reshape(-1))
-    m, levels_pt, unfinished, win_n, accf = refit(m, slots)
+        m, slots, tbl0, dropped = assign_cached(m, cached.reshape(-1), tbl0)
+    m, levels_pt, unfinished, win_n, accf = refit(m, slots, tbl0)
+    unfinished = unfinished | dropped
 
     # Later waves run only while the previous one split a node or left
     # stragglers; a while_loop (not a chain of conds) because XLA aliases
@@ -808,20 +968,38 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     # whose leaf split — split waves cost O(affected points), not O(window +
     # pool). levels+1 passes cover a full split cascade plus a straggler
     # pass.
-    def w_cond(carry):
-        return carry[7] & (carry[4] < ms.levels + 1)
+    if tbl0 is None:
+        def w_cond(carry):
+            return carry[7] & (carry[4] < ms.levels + 1)
 
-    def w_body(carry):
-        mm, pp, s, lv, w, _, _, _ = carry
-        mm, pp = _pool_fix(mm, pp, params, ms, jour)
-        mm, s = assign_cached(mm, s)
-        mm, lv, unf, wn, af = refit(mm, s)
-        return mm, pp, s, lv, w + 1, wn, af, unf
+        def w_body(carry):
+            mm, pp, s, lv, w, _, _, _ = carry
+            mm, pp = _pool_fix(mm, pp, params, ms, jour)
+            mm, s, _, drp = assign_cached(mm, s)
+            mm, lv, unf, wn, af = refit(mm, s)
+            return mm, pp, s, lv, w + 1, wn, af, unf | drp
 
-    m, pool, slots, levels_pt, waves, win_n, accf, _ = jax.lax.while_loop(
-        w_cond, w_body,
-        (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), win_n,
-         accf, unfinished))
+        m, pool, slots, levels_pt, waves, win_n, accf, _ = jax.lax.while_loop(
+            w_cond, w_body,
+            (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), win_n,
+             accf, unfinished))
+    else:
+        # persistent path: the table rides the carry; refit consumes it
+        # directly (accf IS the table), so the wave does no segment-sum
+        def w_cond(carry):
+            return carry[7] & (carry[4] < ms.levels + 1)
+
+        def w_body(carry):
+            mm, pp, s, lv, w, _, tb, _ = carry
+            mm, pp = _pool_fix(mm, pp, params, ms, jour)
+            mm, s, tb, drp = assign_cached(mm, s, tb)
+            mm, lv, unf, wn, tb = refit(mm, s, tb)
+            return mm, pp, s, lv, w + 1, wn, tb, unf | drp
+
+        m, pool, slots, levels_pt, waves, win_n, accf, _ = jax.lax.while_loop(
+            w_cond, w_body,
+            (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), win_n,
+             accf, unfinished))
 
     out = (m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np))
     if debug:
@@ -945,7 +1123,7 @@ def match_neighbors(m: VoxelMap, wld, params: MapParams, ms: MapStatic,
 
 @partial(jax.jit, static_argnames=("ms", "mgsize"))
 def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
-          params: MapParams, ms: MapStatic, jour, mgsize: int = 1):
+          params: MapParams, ms: MapStatic, jour, mgsize: int = 1, tbl=None):
     """Marginalize the oldest `mgsize` window frames into fixed statistics
     (OctoTree::margi, octree.cpp:395-495) and refresh plane parameters +
     covariances (plane_update cadence, octree.cpp:441-446).
@@ -955,7 +1133,13 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     re-transforms points with the POST-BA poses but does not reassign.
     win_pts_w/win_var_w: (W, Np, 3)/(W, Np, 6 packed) world positions and
     covariances under the post-BA poses; frames [0, mgsize) are absorbed.
-    The caller shifts its buffers afterwards."""
+    The caller shifts its buffers afterwards.
+
+    tbl: optional (W, C, 10) persistent moment table ALREADY re-tagged to
+    the post-BA poses (fused path) — replaces both per-point segment-sums:
+    the window columns become tbl.sum(0) and the marginalized-frame columns
+    tbl[:mgsize].sum(0) under a per-SLOT seal mask (sealing is per-slot, so
+    the per-point `append` mask factorizes exactly)."""
     C = ms.capacity
     W, Np, _ = win_pts_w.shape
     flat_w = win_pts_w.reshape(-1, 3)
@@ -965,9 +1149,12 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     flat_v = win_valid.reshape(-1)
     slots = slots.reshape(-1)
 
-    lv_pt, centers_pt, _ = slot_meta(m, slots, params)
-    rel = flat_w - centers_pt
-    acc = _seg_cols(slots, rel, flat_v, C)   # (10, C) window columns
+    if tbl is None:
+        _, centers_pt, _ = slot_meta(m, slots, params)
+        rel = flat_w - centers_pt
+        acc = _seg_cols(slots, rel, flat_v, C)   # (10, C) window columns
+    else:
+        acc = tbl.sum(axis=0).T
 
     leaf = (m.keys != vh.EMPTY_KEY) & (m.state == 0)
     wN = acc[9]
@@ -1067,7 +1254,6 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     # scatter, the position cumsum) runs on mgsize*Np points, not W*Np.
     nm = mgsize * Np
     slots_m = slots[:nm]
-    rel_m = rel[:nm]
     w_m = flat_w[:nm]
     var_m = flat_var[:nm]
     slot_unsealed = (slots_m >= 0) & (
@@ -1078,7 +1264,13 @@ def margi(m: VoxelMap, pool: FixPool, slots, win_pts_w, win_var_w, win_valid,
     # stats); the points' Bf covariance contributions are ALREADY in cov_add
     # (added once at insertion, accumulate_cov) — the reference never
     # re-adds either
-    wc_m = _seg_cols(slots_m, rel_m, append, C)       # (10, C)
+    if tbl is None:
+        rel_m = rel[:nm]
+        wc_m = _seg_cols(slots_m, rel_m, append, C)   # (10, C)
+    else:
+        # per-point append = valid & per-SLOT unsealed: factorizes exactly
+        unsealed = (m.fix_N < params.max_points).astype(jnp.float32)
+        wc_m = tbl[:mgsize].sum(axis=0).T * unsealed[None, :]
     fix_P_new = m.fix_P + wc_m[0:6].T
     fix_v_new = m.fix_v + wc_m[6:9].T
     fix_N_new = m.fix_N + wc_m[9]
@@ -1138,11 +1330,16 @@ def rebuild_child_links(m: VoxelMap, ms: MapStatic) -> VoxelMap:
 
 @partial(jax.jit, static_argnames=("ms", "dist"))
 def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic,
-          dist: float | None = None):
+          dist: float | None = None, win_slots=None, win_mom=None):
     """Distance-based map release (local_mapping.cpp:317-344): rebuild the
     table keeping only entries visited within `dist` journey units (default
     ms.evict_dist). Rebuild (rather than tombstoning) keeps probe chains
-    intact."""
+    intact.
+
+    win_slots/win_mom: optional cached (W, Np) window slot assignment and
+    (W, C, 10) persistent moment table — remapped through the rebuild so the
+    fused step's incremental invariants survive (a stale assignment paired
+    with a moved table cell would double-count on re-descend)."""
     if dist is None:
         dist = ms.evict_dist
     keep = (m.keys != vh.EMPTY_KEY) & (cur_jour - m.jour < dist)
@@ -1188,4 +1385,17 @@ def evict(m: VoxelMap, pool: FixPool, cur_jour, params: MapParams, ms: MapStatic
     pslot, _, _ = descend(m2, pool.pts, params, ms)
     pool = pool._replace(valid=pool.valid & (pslot >= 0),
                          slot=jnp.where(pool.valid & (pslot >= 0), pslot, -1))
-    return m2, pool
+    if win_slots is None and win_mom is None:
+        return m2, pool
+    if win_slots is not None:
+        old = jnp.maximum(win_slots, 0)
+        ok = (win_slots >= 0) & placed[old]
+        win_slots = jnp.where(ok, slots[old], -1)
+    if win_mom is not None:
+        W_ = win_mom.shape[0]
+        cols_t = jnp.swapaxes(win_mom, 0, 1).reshape(ms.capacity, -1)
+        moved = jnp.zeros_like(cols_t).at[dst].set(
+            jnp.where(placed[:, None], cols_t, 0.0), mode="drop")
+        win_mom = jnp.swapaxes(
+            moved.reshape(ms.capacity, W_, -1), 0, 1)
+    return m2, pool, win_slots, win_mom

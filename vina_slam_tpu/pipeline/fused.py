@@ -46,6 +46,10 @@ class SteadyState(NamedTuple):
     win_var: jnp.ndarray           # (W, Np, 6) f32 SYM3-packed world var @ insertion
     win_valid: jnp.ndarray         # (W, Np)
     win_slots: jnp.ndarray         # (W, Np) i32 cached leaf slots (-1 unknown)
+    win_mom: jnp.ndarray           # (W, C, 10) f32 persistent per-(frame,
+                                   # slot) moment table, ALWAYS valid under
+                                   # the poses in `xs` (the full branch
+                                   # re-tags it right after BA moves them)
     win_count: jnp.ndarray         # () i32
     scan_idx: jnp.ndarray          # () i32 global scan counter
     degrade_cnt: jnp.ndarray       # () i32
@@ -57,10 +61,15 @@ class SteadyState(NamedTuple):
 
 def make_steady_state(m, pool, x, xs, pre_f, win_pts, win_var, win_valid,
                       win_count, jour, last_pos, scan_idx=0) -> SteadyState:
+    W = win_valid.shape[0]
+    C = m.keys.shape[0]
     return SteadyState(
         m=m, pool=pool, x=x, xs=xs, pre_f=pre_f,
         win_pts=win_pts, win_var=win_var, win_valid=win_valid,
         win_slots=jnp.full(win_valid.shape, -1, jnp.int32),
+        # zero table + all-(-1) slots is the consistent empty invariant; the
+        # first steps fill both through recut's compacted re-descends
+        win_mom=jnp.zeros((W, C, 10), jnp.float32),
         win_count=jnp.asarray(win_count, jnp.int32),
         scan_idx=jnp.asarray(scan_idx, jnp.int32),
         degrade_cnt=jnp.asarray(0, jnp.int32),
@@ -211,18 +220,25 @@ def steady_step(
     new_row = jnp.minimum(i, W - 1)
     new_mask = jnp.broadcast_to(
         (jnp.arange(W) == new_row)[:, None], win_valid.shape)
+    # st.win_mom is valid under st.xs poses == xs rows 0..i-1 (the push only
+    # filled row i, whose table row is empty), so recut consumes it as-is
     m, pool0, slots, _, win_n, win_accf = vm.recut(
         st.m, st.pool, win_w, win_valid, params, ms, W, st.jour,
         cached=win_slots_hint, win_var=win_var, new_mask=new_mask,
-        return_counts=True, return_frame_moments=True)
+        return_counts=True, return_frame_moments=True, mom=st.win_mom)
     win_slots = slots
+    # the returned frame-moment table IS the persistent table under the
+    # current (pre-BA) poses
+    win_mom = win_accf
     if stop_after == "recut":
-        return st._replace(x=x, m=m, pool=pool0, win_slots=slots)
+        return st._replace(x=x, m=m, pool=pool0, win_slots=slots,
+                           win_mom=win_mom)
     factors = fx.extract_factors(m, slots, win_w, win_valid, xs.R, xs.p,
                                  params, ms, Vmax, W, win_count=win_n,
                                  frame_moments=win_accf)
     if stop_after == "extract":
         return st._replace(x=x, m=m, pool=pool0, win_slots=slots,
+                           win_mom=win_mom,
                            win_count=win_count.astype(jnp.int32)
                            + (factors.n_valid * 0))
 
@@ -230,7 +246,8 @@ def steady_step(
     full = win_count >= W
 
     def full_branch(op):
-        m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x, jour = op
+        (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots,
+         win_mom, x, jour) = op
         w0 = ba.WindowPoses(R=xs.R, p=xs.p, v=xs.v, bg=xs.bg, ba=xs.ba,
                             g=xs.g[W - 1])
         if if_ba:
@@ -245,23 +262,35 @@ def steady_step(
         x = x._replace(R=w1.R[W - 1], p=w1.p[W - 1])
         if stop_after == "lm":  # bisect point: BA without margi/shift
             return (m, pool, xs, pre_f, win_pts, win_var, win_valid,
-                    win_slots, x, jour)
+                    win_slots, win_mom, x, jour)
+
+        # BA moved every pose: re-tag the moment table from the pre-BA poses
+        # (w0) to the refined ones in closed form (PointCluster::transform),
+        # restoring the invariant "win_mom is valid under xs"; margi then
+        # consumes it directly (no per-point segment-sums).
+        win_mom = vm._mom_retag(
+            vm.WinMoments(cols=win_mom, R=w0.R, p=w0.p),
+            m, params, xs.R, xs.p).cols
 
         R32 = xs.R.astype(jnp.float32)
         p32 = xs.p.astype(jnp.float32)
         ww = bmv(R32[:, None], win_pts) + p32[:, None, :]
         ww = jnp.where(win_valid[..., None], ww, 1e7)
         m, pool = vm.margi(m, pool, slots, ww, win_var, win_valid, params, ms,
-                           jour, mgsize=1)
+                           jour, mgsize=1, tbl=win_mom)
 
         # shift the window (local_mapping.cpp:521-546)
         win_pts = jnp.roll(win_pts, -1, axis=0)
         win_var = jnp.roll(win_var, -1, axis=0)
         win_valid = jnp.roll(win_valid, -1, axis=0).at[W - 1].set(False)
         win_slots = jnp.roll(win_slots, -1, axis=0)
+        # the marginalized frame's table row retires; the incoming frame's
+        # row must be EMPTY (zero moments <-> slot -1, the push invariant)
+        win_mom = jnp.roll(win_mom, -1, axis=0).at[W - 1].set(0.0)
         xs = NavState(*(jnp.roll(f, -1, axis=0) for f in xs))
         pre_f = jax.tree_util.tree_map(lambda f: jnp.roll(f, -1, axis=0), pre_f)
-        return m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x, jour
+        return (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots,
+                win_mom, x, jour)
 
     # 0/1-iteration while_loop, NOT lax.cond (same reasoning as evict below):
     # the cond's untaken identity branch forced fresh output buffers for the
@@ -272,15 +301,17 @@ def steady_step(
         out = full_branch(carry[:-1])
         return (*out, jnp.asarray(True))
 
-    op = (m, pool0, xs, pre_f, win_pts, win_var, win_valid, win_slots, x,
-          st.jour, jnp.asarray(False))
-    (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots, x,
+    op = (m, pool0, xs, pre_f, win_pts, win_var, win_valid, win_slots,
+          win_mom, x, st.jour, jnp.asarray(False))
+    (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots,
+     win_mom, x,
      jour, _) = jax.lax.while_loop(lambda c: ~c[-1] & full, full_body, op)
     win_count = jnp.where(full, win_count - 1, win_count)
     if stop_after in ("lm", "ba"):
         return st._replace(x=x, m=m, pool=pool, xs=xs, pre_f=pre_f,
                            win_pts=win_pts, win_var=win_var,
                            win_valid=win_valid, win_slots=win_slots,
+                           win_mom=win_mom,
                            win_count=win_count.astype(jnp.int32))
 
     # ---------------- journey / eviction bookkeeping ----------------
@@ -299,17 +330,19 @@ def steady_step(
     # stale voxels, local_mapping.cpp:317-344) — `jour > 700` alone would
     # re-trigger the full-table rebuild on EVERY movement tick of a long run.
     def evict_body(carry):
-        mm, pp, _ = carry
-        mm, pp = vm.evict(mm, pp, jour, params, ms)
-        return mm, pp, jnp.asarray(True)
+        mm, pp, ws, wm, _ = carry
+        # the rebuild remaps every slot id: the cached window slots and the
+        # persistent moment table move with their voxels (points whose voxel
+        # was released drop to -1 / zero — consistent empty cells)
+        mm, pp, ws, wm = vm.evict(mm, pp, jour, params, ms,
+                                  win_slots=ws, win_mom=wm)
+        return mm, pp, ws, wm, jnp.asarray(True)
 
     evictable = jnp.any((m.keys != vm.vh.EMPTY_KEY)
                         & (jour - m.jour >= ms.evict_dist))
-    m, pool, evicted = jax.lax.while_loop(
-        lambda c: ~c[2] & move & evictable, evict_body,
-        (m, pool, jnp.asarray(False)))
-    # eviction rebuilds the hash table: every cached slot is stale
-    win_slots = jnp.where(evicted, -1, win_slots)
+    m, pool, win_slots, win_mom, evicted = jax.lax.while_loop(
+        lambda c: ~c[4] & move & evictable, evict_body,
+        (m, pool, win_slots, win_mom, jnp.asarray(False)))
 
     # ---------------- trajectory ring ----------------
     row = jnp.concatenate([
@@ -336,6 +369,7 @@ def steady_step(
         m=m, pool=pool, x=x, xs=xs, pre_f=pre_f,
         win_pts=win_pts, win_var=win_var, win_valid=win_valid,
         win_slots=win_slots,
+        win_mom=win_mom,
         win_count=win_count.astype(jnp.int32), scan_idx=scan_idx,
         degrade_cnt=degrade_cnt, jour=jour, last_pos=last_pos,
         traj=traj, traj_head=traj_head,
