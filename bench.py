@@ -182,7 +182,11 @@ def main():
     # persistent compile cache: the fused pipeline program is large and its
     # (remote) compile dominates cold-start; cache it across runs
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # cache EVERYTHING: the axon remote compile costs ~0.5 s RTT per
+    # program, and the init path dispatches hundreds of small programs
+    # that a 5 s write-threshold re-pays on every run
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from vina_slam_tpu.core.config import SlamConfig
     from vina_slam_tpu.pipeline.runner import SlamRunner
@@ -235,32 +239,37 @@ def main():
             f"batched mode.")
         sys.exit(2)
 
-    cfg = SlamConfig()
-    cfg.odometry.voxel_size = 1.0
-    cfg.odometry.down_size = 0.1
-    cfg.local_ba.win_size = 10
-    cfg.local_ba.max_layer = 2
-    cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
-    cfg.local_ba.imu_coef = 2e-4
-    cfg.general.if_BA = 1
-    # size the table to the synthetic world (~10k voxels) like the
-    # reference sizes its hash map; map-wide ops cost per CAPACITY row
-    cfg.tpu.map_capacity = 1 << 15
-    cfg.tpu.fix_pool_capacity = 1 << 15
-    # BA factor pad: measured fill on this world is ~420 mean / 523 max of
-    # 1024 (scripts/lm_stats.py); BENCH_MAX_VOXELS_BA trials right-sizing
-    cfg.tpu.max_voxels_ba = int(os.environ.get("BENCH_MAX_VOXELS_BA", "1024"))
-    cfg.tpu.max_new_voxels = 1024
-    d_npad = "3072"
-    if big:
-        # a 20k-ray sweep of the room resolves ~8k unique 0.1 m surface
-        # voxels; larger tables + BA pad to match
-        cfg.tpu.map_capacity = 1 << 16
-        cfg.tpu.fix_pool_capacity = 1 << 16
-        cfg.tpu.max_new_voxels = 4096
-        cfg.tpu.max_voxels_ba = int(os.environ.get("BENCH_MAX_VOXELS_BA",
-                                                   "2048"))
-        d_npad = "8192"
+    def make_cfg(big_cfg):
+        cfg = SlamConfig()
+        cfg.odometry.voxel_size = 1.0
+        cfg.odometry.down_size = 0.1
+        cfg.local_ba.win_size = 10
+        cfg.local_ba.max_layer = 2
+        cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
+        cfg.local_ba.imu_coef = 2e-4
+        cfg.general.if_BA = 1
+        # size the table to the synthetic world (~10k voxels) like the
+        # reference sizes its hash map; map-wide ops cost per CAPACITY row
+        cfg.tpu.map_capacity = 1 << 15
+        cfg.tpu.fix_pool_capacity = 1 << 15
+        # BA factor pad: measured fill on this world is ~420 mean / 523 max
+        # of 1024 (scripts/lm_stats.py); BENCH_MAX_VOXELS_BA trials sizing
+        cfg.tpu.max_voxels_ba = int(
+            os.environ.get("BENCH_MAX_VOXELS_BA", "1024"))
+        cfg.tpu.max_new_voxels = 1024
+        npad = "3072"
+        if big_cfg:
+            # a 20k-ray sweep of the room resolves ~8k unique 0.1 m surface
+            # voxels; larger tables + BA pad to match
+            cfg.tpu.map_capacity = 1 << 16
+            cfg.tpu.fix_pool_capacity = 1 << 16
+            cfg.tpu.max_new_voxels = 4096
+            cfg.tpu.max_voxels_ba = int(os.environ.get("BENCH_MAX_VOXELS_BA",
+                                                       "2048"))
+            npad = "8192"
+        return cfg, npad
+
+    cfg, d_npad = make_cfg(big)
 
     def warm_runner(seed):
         """Build a runner + sequence, run init + 3 steady frames; return
@@ -351,6 +360,70 @@ def main():
         STATE["phase"] = "ate"
         ate = seq_ate(runner.trajectory(), gts)
         extras = {}
+        # publish the primary result before the secondary capture so a
+        # budget/driver kill still records the headline number
+        STATE.update({"value": scans_per_sec, "ate": ate,
+                      "frames_timed": n_timed,
+                      "points_per_scan": int(np.mean(
+                          [f.scan.pts.shape[0] for f in frames]))})
+
+        # ---- secondary capture at realistic Mid-360-class density ----
+        # >=20k raw pts/scan through the FULL-RES odometry cloud (the
+        # reference keeps both clouds, local_mapping.cpp:396-410): the
+        # 2.2k-pt small-world number alone says little about 10x real-time
+        # on real sensors. Runs only when enough budget remains after the
+        # primary; its program shapes compile once and persist in the cache.
+        min_s = float(os.environ.get("BENCH_BIG_MIN_S", "420"))
+        if (not big and os.environ.get("BENCH_SKIP_BIG", "0") != "1"
+                and not cpu_fallback
+                and time.perf_counter() + min_s < _T0 + budget_s - 30.0):
+            STATE["phase"] = "big-world"
+            log("secondary capture: big world (>=20k pts/scan)")
+            big_cfg, big_npad = make_cfg(True)
+            try:
+                b_frames, b_gts = synth.simulate_sequence(
+                    duration=8.0, n_az=1024, n_el=20, noise=0.005,
+                    imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
+                b_runner = SlamRunner(big_cfg, npad_map=int(big_npad))
+                warm = 0
+                split = len(b_frames)
+                for i, f in enumerate(b_frames):
+                    out = b_runner.process_frame(f)
+                    if not b_runner.motion_init_flag and out is not None:
+                        warm += 1
+                    if warm >= 3:
+                        split = i + 1
+                        break
+                    if time.perf_counter() > _T0 + budget_s - 60.0:
+                        break
+                if b_runner._fused is not None and warm >= 3:
+                    b_runner.sync()
+                    t0b = time.perf_counter()
+                    nb = 0
+                    for f in b_frames[split:]:
+                        b_runner.process_frame(f)
+                        nb += 1
+                        if nb % 4 == 0:
+                            b_runner.sync()
+                            if time.perf_counter() > _T0 + budget_s - 45.0:
+                                break
+                    b_runner.sync()
+                    elb = time.perf_counter() - t0b
+                    b_ate = seq_ate(b_runner.trajectory(), b_gts)
+                    extras["big_world"] = {
+                        "points_per_scan": int(np.mean(
+                            [f.scan.pts.shape[0] for f in b_frames])),
+                        "scans_per_sec": round(nb / elb, 3) if nb else 0.0,
+                        "frames_timed": nb,
+                        "ate_rmse_m": round(float(b_ate), 5),
+                    }
+                    log(f"big world: {nb} frames at "
+                        f"{nb / elb:.2f} scans/s, ate={b_ate * 1e3:.2f} mm")
+                else:
+                    extras["big_world"] = {"error": "no steady state reached"}
+            except Exception as e:  # noqa: BLE001 — never kill the primary
+                log(f"big-world capture failed: {e}")
+                extras["big_world"] = {"error": str(e)[:200]}
     else:
         # multi-sequence throughput: n_seqs independent pipelines advance in
         # lockstep, one sequence per device (parallel/multiseq.py) — the

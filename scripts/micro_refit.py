@@ -7,7 +7,11 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# cache EVERYTHING: the axon remote compile costs ~0.5 s RTT per
+# program, and the init path dispatches hundreds of small programs
+# that a 5 s write-threshold re-pays on every run
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 import numpy as np
 
