@@ -285,3 +285,96 @@ class TestWebViz:
         except SystemExit as e:
             p = e.code
         assert p == 2
+
+
+class TestSessionDir:
+    def test_overwrite_guard(self, tmp_path):
+        """is_save_map=1 must refuse an existing session dir
+        (node.cpp:269-279) and create a fresh one otherwise."""
+        d = io.prepare_session_dir(str(tmp_path), "bagA", 1)
+        assert os.path.isdir(d)
+        with pytest.raises(io.SessionDirExists):
+            io.prepare_session_dir(str(tmp_path), "bagA", 1)
+        # is_save_map=0: existing dir is fine, missing dir is created
+        assert io.prepare_session_dir(str(tmp_path), "bagA", 0) == d
+        d2 = io.prepare_session_dir(str(tmp_path), "bagB", 0)
+        assert os.path.isdir(d2)
+
+
+class TestIncrementalViz:
+    def _markers(self, ids, shift=0.0):
+        return [{"id": int(i), "center": [float(i), shift, 0.0],
+                 "normal": [0.0, 0.0, 1.0], "scale": [1, 1, 0.1],
+                 "color": [0.1, 0.2, 0.3]} for i in ids]
+
+    def test_marker_differ_add_change_delete(self):
+        from vina_slam_tpu.platform.viz import MarkerDiffer
+
+        d = MarkerDiffer()
+        u0 = d.diff(self._markers([1, 2, 3]))
+        assert {m["id"] for m in u0["add"]} == {1, 2, 3} and u0["delete"] == []
+        # 2 changes content, 3 vanishes, 4 appears
+        m1 = self._markers([1]) + self._markers([2], shift=1.0) + self._markers([4])
+        u1 = d.diff(m1)
+        assert {m["id"] for m in u1["add"]} == {2, 4}
+        assert u1["delete"] == [3]
+        # rebase=False keeps the baseline: same diff again
+        u2 = d.diff(m1, rebase=False)
+        assert {m["id"] for m in u2["add"]} == set()
+        assert u2["delete"] == []
+
+    def test_scene_streamer_base_plus_update_is_full_state(self, tmp_path):
+        """Viewer contract: base scene (+) LATEST update == current state,
+        regardless of missed ticks (updates are cumulative vs the base)."""
+        import json as js
+
+        from vina_slam_tpu.mapping import voxel_map as vm
+        from vina_slam_tpu.platform.webviz import SceneStreamer
+        from vina_slam_tpu.platform.viz import collect_plane_markers
+
+        rng = np.random.default_rng(5)
+        ms = vm.MapStatic(capacity=1 << 10, levels=2, probe=16,
+                          max_new=512, pool_capacity=1 << 10)
+        par = vm.default_params(voxel_size=2.0, min_eigen_value=0.01)
+        m = vm.make_map(ms)
+        pool = vm.make_pool(ms)
+
+        def plane_cloud(n, z):
+            uv = rng.uniform(-4, 4, (n, 2))
+            return np.concatenate(
+                [uv, np.full((n, 1), z) + rng.normal(0, 1e-3, (n, 1))],
+                axis=1).astype(np.float32)
+
+        s = SceneStreamer(str(tmp_path), snapshot_every=3)
+        traj = np.zeros((1, 4))
+        # tick 1: first map state -> snapshot written (base)
+        win = jnp.asarray(plane_cloud(800, 0.5))[None]
+        valid = jnp.ones((1, 800), bool)
+        m, pool, *_ = vm.recut(m, pool, win, valid, par, ms, 1,
+                               jnp.asarray(0.0, jnp.float32))
+        s.tick(traj, m, par)
+        assert os.path.exists(tmp_path / "scene.json")
+        # ticks 2-3: grow the map (new planar voxels appear)
+        for z in (2.5, 4.5):
+            win = jnp.asarray(plane_cloud(800, z))[None]
+            m, pool, *_ = vm.recut(m, pool, win, valid, par, ms, 1,
+                                   jnp.asarray(0.0, jnp.float32))
+            traj = np.vstack([traj, [[len(traj) * 0.1, z, 0, 0]]])
+            upd = s.tick(traj, m, par)
+        scene = js.load(open(tmp_path / "scene.json"))
+        u = js.load(open(tmp_path / "update.json"))
+        assert u["base"] == scene["base"]
+        # reconstruct: base (+) latest update
+        by_id = {mk["id"]: mk for mk in scene["planes"]}
+        for i in u["planes"]["delete"]:
+            by_id.pop(i, None)
+        for mk in u["planes"]["add"]:
+            by_id[mk["id"]] = mk
+        want = {mk["id"]: mk for mk in collect_plane_markers(m, par)}
+        assert by_id == want
+        # trajectory tail reconstructs too
+        got_traj = scene["trajectory"] + u["traj_add"]
+        np.testing.assert_allclose(np.asarray(got_traj),
+                                   traj[:, 1:4], atol=1e-12)
+        # the update is a real DELTA, smaller than the scene
+        assert len(u["planes"]["add"]) < len(want)

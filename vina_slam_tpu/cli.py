@@ -40,6 +40,7 @@ def cmd_run(args):
 
     n = 0
     n_streamed = 0
+    streamer = None
     t0 = time.perf_counter()
     for frame in source:
         out = runner.process_frame(frame)
@@ -51,12 +52,18 @@ def cmd_run(args):
             n_streamed += 1
         if args.live_scene and n % args.live_every == 0:
             # live viewer feed (serve with `cli viz --scene <path>`); the
-            # rviz MarkerArray-publisher analog (octree.cpp:758-949)
-            from vina_slam_tpu.platform.webviz import write_scene_json
+            # rviz MarkerArray-publisher analog (octree.cpp:758-949) —
+            # INCREMENTAL: periodic scene.json snapshots + per-tick
+            # update.json add/delete deltas keyed by stable voxel ids
+            if streamer is None:
+                import os as _os
+
+                from vina_slam_tpu.platform.webviz import SceneStreamer
+                streamer = SceneStreamer(
+                    _os.path.dirname(_os.path.abspath(args.live_scene)))
             runner.drain_traj()
             runner.sync_from_fused()
-            write_scene_json(args.live_scene, runner.trajectory(),
-                             runner.map, runner.params)
+            streamer.tick(runner.trajectory(), runner.map, runner.params)
         if args.max_frames and n >= args.max_frames:
             break
     elapsed = time.perf_counter() - t0
@@ -82,11 +89,17 @@ def cmd_run(args):
         runner.sync_from_fused()
         save_markers_json(args.markers, runner.map, runner.params)
     if args.live_scene:
-        from vina_slam_tpu.platform.webviz import write_scene_json
         runner.drain_traj()
         runner.sync_from_fused()
-        write_scene_json(args.live_scene, runner.trajectory(),
-                         runner.map, runner.params)
+        if streamer is not None:
+            # final incremental tick through the SAME streamer — a plain
+            # snapshot write here would drop the "base" stamp and desync
+            # any viewer mid-protocol
+            streamer.tick(runner.trajectory(), runner.map, runner.params)
+        else:
+            from vina_slam_tpu.platform.webviz import write_scene_json
+            write_scene_json(args.live_scene, runner.trajectory(),
+                             runner.map, runner.params)
     print(json.dumps({
         "frames": n, "elapsed_s": round(elapsed, 2),
         "scans_per_sec": round(n / max(elapsed, 1e-9), 2),

@@ -123,7 +123,11 @@ class SlamRunner:
         self.timer = StageTimer()
         save_dir = ""
         if cfg.general.is_save_map:
-            save_dir = (cfg.general.save_path or ".") + "/" + cfg.general.bagname
+            # session lifecycle incl. the overwrite guard (node.cpp:267-287)
+            from vina_slam_tpu.platform.io import prepare_session_dir
+            save_dir = prepare_session_dir(
+                cfg.general.save_path, cfg.general.bagname,
+                cfg.general.is_save_map)
         self.map_accum = GlobalMapAccumulator(
             save_dir=save_dir,
             full_map_voxel_size=cfg.general.full_map_voxel_size)

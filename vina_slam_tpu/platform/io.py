@@ -84,3 +84,31 @@ def save_pcd(path: str, pts: np.ndarray, intensity: np.ndarray | None = None):
 def load_tum(path: str) -> np.ndarray:
     """Read a TUM trajectory into (N, 8) [t x y z qx qy qz qw]."""
     return np.loadtxt(path).reshape(-1, 8)
+
+
+class SessionDirExists(RuntimeError):
+    """is_save_map=1 refuses to overwrite an existing session directory
+    (node.cpp:269-279: the reference prints an overwrite warning and
+    exit(1)s; here it is a catchable error)."""
+
+
+def prepare_session_dir(save_path: str, bagname: str, is_save_map: int) -> str:
+    """Session output-directory lifecycle (node.cpp:267-287):
+    `save_path/bagname/`. With is_save_map=1 an EXISTING directory is a
+    hard error — saving would overwrite a previous session's map; delete
+    or rename it, or change `bagname`. Otherwise the directory is created
+    on demand."""
+    import os
+
+    session_dir = os.path.join(save_path or ".", bagname)
+    if is_save_map == 1:
+        if os.path.exists(session_dir):
+            raise SessionDirExists(
+                f"session directory already exists: {session_dir!r} — "
+                "is_save_map=1 would overwrite existing data; delete or "
+                "rename it, or change 'bagname' in the config "
+                "(node.cpp:269-279)")
+        os.makedirs(session_dir)
+    else:
+        os.makedirs(session_dir, exist_ok=True)
+    return session_dir

@@ -59,6 +59,10 @@ def collect_plane_markers(m, params, max_trace: float = 0.25,
     keys = np.asarray(m.keys)
     is_plane = np.asarray(m.is_plane) & (keys != int(vh.EMPTY_KEY)) & (np.asarray(m.state) == 0)
     idx = np.nonzero(is_plane)[0][:max_out]
+    # marker ids are the VOXEL KEYS (level+coords), not table slots: stable
+    # across hash rebuilds/evictions, like the reference's deterministic
+    # voxel-id hash (octree.cpp:11-20)
+    vid = keys[idx]
     center = np.asarray(m.plane_center)[idx]
     normal = np.asarray(m.plane_normal)[idx]
     eig = np.clip(np.asarray(m.eig_val)[idx], 0.0, None)
@@ -69,7 +73,7 @@ def collect_plane_markers(m, params, max_trace: float = 0.25,
     out = []
     for k in range(len(idx)):
         out.append({
-            "id": int(idx[k]),
+            "id": int(vid[k]),
             "center": center[k].tolist(),
             "normal": normal[k].tolist(),
             "scale": [3.0 * float(np.sqrt(eig[k, 2])),
@@ -91,6 +95,7 @@ def collect_normal_markers(m, params, max_trace: float = 0.25,
     is_plane = (np.asarray(m.is_plane) & (keys != int(vh.EMPTY_KEY))
                 & (np.asarray(m.state) == 0))
     idx = np.nonzero(is_plane)[0][:max_out]
+    vid = keys[idx]  # stable voxel-key ids (see collect_plane_markers)
     center = np.asarray(m.plane_center)[idx]
     normal = np.asarray(m.plane_normal)[idx]
     normal = normal / np.maximum(
@@ -104,7 +109,7 @@ def collect_normal_markers(m, params, max_trace: float = 0.25,
     out = []
     for k in range(len(idx)):
         out.append({
-            "id": int(idx[k]),
+            "id": int(vid[k]),
             "start": center[k].tolist(),
             "end": (center[k] + normal[k] * length[k]).tolist(),
             "shaft": 0.1 * float(length[k]),
@@ -118,3 +123,45 @@ def save_markers_json(path: str, m, params):
     with open(path, "w") as f:
         json.dump({"planes": collect_plane_markers(m, params),
                    "normals": collect_normal_markers(m, params)}, f)
+
+
+class MarkerDiffer:
+    """Incremental marker protocol — the reference's add/delete MarkerArray
+    scheme (octree.cpp:758-949): voxels publish stable per-voxel ids, the
+    viewer keeps the scene, and each tick ships only markers that
+    appeared/changed plus DELETE actions for ids that vanished — O(changed)
+    records instead of the full 20k-marker snapshot.
+
+    diff(markers, rebase=True) returns {"add": [...], "delete": [ids]}
+    relative to the stored baseline. rebase=False keeps the baseline (the
+    live streamer diffs every tick against the last FULL snapshot, so a
+    viewer that missed ticks stays consistent: base scene + latest update
+    is always the complete current state)."""
+
+    def __init__(self):
+        self._base: dict = {}
+
+    def rebase(self, markers: list) -> None:
+        self._base = {rec["id"]: json.dumps(rec, sort_keys=True)
+                      for rec in markers}
+
+    def diff(self, markers: list, rebase: bool = True) -> dict:
+        cur = {rec["id"]: json.dumps(rec, sort_keys=True) for rec in markers}
+        add = [m_ for m_ in markers
+               if self._base.get(m_["id"]) != cur[m_["id"]]]
+        delete = [i for i in self._base if i not in cur]
+        if rebase:
+            self._base = cur
+        return {"add": add, "delete": delete}
+
+
+def save_marker_update_json(path: str, m, params, differ_planes: MarkerDiffer,
+                            differ_normals: MarkerDiffer):
+    """One incremental tick: write only the marker deltas since the last
+    call on these differs (the publish-cadence analog of pub_voxel_plane /
+    pub_voxel_normal with add/delete actions)."""
+    upd = {"planes": differ_planes.diff(collect_plane_markers(m, params)),
+           "normals": differ_normals.diff(collect_normal_markers(m, params))}
+    with open(path, "w") as f:
+        json.dump(upd, f)
+    return upd

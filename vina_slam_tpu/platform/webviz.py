@@ -29,7 +29,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from vina_slam_tpu.platform.viz import (collect_normal_markers,
+from vina_slam_tpu.platform.viz import (MarkerDiffer, collect_normal_markers,
                                         collect_plane_markers)
 
 
@@ -56,6 +56,76 @@ def write_scene_json(path: str, traj, m, params, max_markers: int = 8000):
     with open(tmp, "w") as f:
         json.dump(scene, f)
     os.replace(tmp, path)
+
+
+def _atomic_json(path: str, doc: dict):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+
+
+class SceneStreamer:
+    """Incremental live-scene protocol (the reference publishes add/delete
+    marker updates keyed by stable voxel ids, octree.cpp:758-949, instead
+    of full-scene snapshots — O(changed) per tick on a big map).
+
+    Files in `dirpath`:
+      scene.json  — full snapshot, carries "base" = its sequence number;
+                    rewritten every `snapshot_every` ticks (late joiners).
+      update.json — written EVERY tick: marker adds/deletes and trajectory
+                    tail relative to the LAST snapshot ("base"-stamped), so
+                    a viewer that misses ticks stays consistent: base scene
+                    + the latest update is always the complete state.
+    """
+
+    def __init__(self, dirpath: str, snapshot_every: int = 10,
+                 max_markers: int = 8000):
+        self.dir = dirpath
+        self.snapshot_every = snapshot_every
+        self.max_markers = max_markers
+        self._dp = MarkerDiffer()
+        self._dn = MarkerDiffer()
+        self._seq = 0
+        self._base = 0
+        self._traj_base = 0
+
+    def tick(self, traj, m, params) -> dict:
+        from vina_slam_tpu.platform.viz import (collect_normal_markers as cn,
+                                                collect_plane_markers as cp)
+        import time
+
+        traj = np.asarray(traj)
+        planes = cp(m, params, max_out=self.max_markers)
+        normals = cn(m, params, max_out=self.max_markers)
+        self._seq += 1
+        if self._base == 0 or (self._seq - self._base) >= self.snapshot_every:
+            scene = {
+                "stamp": time.time(), "base": self._seq,
+                "frames": int(traj.shape[0]),
+                "trajectory": traj[:, 1:4].tolist() if traj.size else [],
+                "planes": planes, "normals": normals,
+            }
+            _atomic_json(os.path.join(self.dir, "scene.json"), scene)
+            self._dp.rebase(planes)
+            self._dn.rebase(normals)
+            self._base = self._seq
+            self._traj_base = int(traj.shape[0])
+            upd = {"seq": self._seq, "base": self._base,
+                   "planes": {"add": [], "delete": []},
+                   "normals": {"add": [], "delete": []},
+                   "traj_add": [], "frames": int(traj.shape[0])}
+        else:
+            upd = {
+                "seq": self._seq, "base": self._base,
+                "planes": self._dp.diff(planes, rebase=False),
+                "normals": self._dn.diff(normals, rebase=False),
+                "traj_add": (traj[self._traj_base:, 1:4].tolist()
+                             if traj.size else []),
+                "frames": int(traj.shape[0]),
+            }
+        _atomic_json(os.path.join(self.dir, "update.json"), upd)
+        return upd
 
 
 # ------------------------------------------------------------------ server
@@ -130,15 +200,48 @@ function draw(){
     +`  normals ${scene.normals.length}\\n`
     +`drag orbit | shift-drag pan | wheel zoom${stale>3?"  [stale]":""}`;
 }
+let base=-1,seq=-1;
+const baseP=new Map(),baseN=new Map();let baseTraj=[];
+function centerOnce(){
+  if(scene.trajectory.length&&cx===0&&cy===0&&cz===0){
+    const p=scene.trajectory[scene.trajectory.length-1];
+    cx=p[0];cy=p[1];cz=p[2];}}
+async function loadFull(){
+  const r=await fetch("scene.json",{cache:"no-store"});
+  if(!r.ok)return false;
+  const s=await r.json();
+  scene=s;base=s.base===undefined?0:s.base;
+  baseP.clear();for(const m of s.planes)baseP.set(m.id,m);
+  baseN.clear();for(const a of s.normals)baseN.set(a.id,a);
+  baseTraj=s.trajectory;centerOnce();draw();return true;
+}
+function applyUpdate(u){
+  // updates are CUMULATIVE vs the base snapshot: rebuild base (+) update
+  const P=new Map(baseP),N=new Map(baseN);
+  for(const i of u.planes.delete)P.delete(i);
+  for(const m of u.planes.add)P.set(m.id,m);
+  for(const i of u.normals.delete)N.delete(i);
+  for(const a of u.normals.add)N.set(a.id,a);
+  scene={stamp:scene.stamp,frames:u.frames,
+         trajectory:baseTraj.concat(u.traj_add),
+         planes:[...P.values()],normals:[...N.values()]};
+  centerOnce();draw();
+}
 async function poll(){
   try{
-    const r=await fetch("scene.json",{cache:"no-store"});
-    if(r.ok){const s=await r.json();
-      if(s.stamp!==scene.stamp){scene=s;stale=0;
-        if(scene.trajectory.length&&cx===0&&cy===0&&cz===0){
-          const p=scene.trajectory[scene.trajectory.length-1];
-          cx=p[0];cy=p[1];cz=p[2];}
-        draw();}else stale++;}
+    // incremental protocol first (SceneStreamer); plain scene.json second
+    const r=await fetch("update.json",{cache:"no-store"});
+    if(r.ok){
+      const u=await r.json();
+      if(u.base!==base)await loadFull();
+      if(u.base===base&&u.seq!==seq){seq=u.seq;stale=0;applyUpdate(u);}
+      else if(u.seq===seq)stale++;
+    }else{
+      const rs=await fetch("scene.json",{cache:"no-store"});
+      if(rs.ok){const s=await rs.json();
+        if(s.stamp!==scene.stamp){scene=s;stale=0;centerOnce();draw();}
+        else stale++;}
+    }
   }catch(e){stale++;}
   setTimeout(poll,1000);
 }
@@ -154,9 +257,15 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path in ("/", "/index.html"):
             body = _HTML.encode()
             ctype = "text/html; charset=utf-8"
-        elif self.path.startswith("/scene.json"):
+        elif (self.path.startswith("/scene.json")
+              or self.path.startswith("/update.json")):
+            # update.json (SceneStreamer's incremental tick) lives next to
+            # the scene snapshot
+            name = self.path.lstrip("/").split("?")[0]
+            path = (self.scene_path if name == "scene.json" else
+                    os.path.join(os.path.dirname(self.scene_path), name))
             try:
-                with open(self.scene_path, "rb") as f:
+                with open(path, "rb") as f:
                     body = f.read()
             except OSError:
                 self.send_response(404)
