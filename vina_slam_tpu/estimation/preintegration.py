@@ -109,8 +109,24 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
         A2, B2 = c2
         return bmm(A2, A1), bmm(A2, B1) + B2
 
-    _, Bc = jax.lax.associative_scan(aff, (Ja, B))
-    J = Bc[-1]
+    # only the TERMINAL composition is consumed: pairwise tree REDUCTION
+    # instead of a full-prefix associative_scan (same trick as
+    # ekf._propagate's covariance; ~log2(K)x less batched-matmul work).
+    # Padding to a power of two is free — identity affine pairs.
+    def _tree_reduce(A_, B_, comb, eyeA, zeroB):
+        Kp = 1 << (A_.shape[0] - 1).bit_length()
+        if Kp != A_.shape[0]:
+            pad = Kp - A_.shape[0]
+            A_ = jnp.concatenate(
+                [A_, jnp.broadcast_to(eyeA, (pad,) + eyeA.shape)])
+            B_ = jnp.concatenate(
+                [B_, jnp.broadcast_to(zeroB, (pad,) + zeroB.shape)])
+        while A_.shape[0] > 1:
+            A_, B_ = comb((A_[0::2], B_[0::2]), (A_[1::2], B_[1::2]))
+        return A_[0], B_[0]
+
+    _, J = _tree_reduce(Ja, B, aff, jnp.eye(9, dtype=E.dtype),
+                        jnp.zeros((9, 6), E.dtype))
 
     # covariance: cov99' = Ja cov99 Ja^T + Jb nm Jb^T, composed in f32 (the
     # covariance only weights the BA residuals; f64 matmuls are emulated)
@@ -126,10 +142,11 @@ def build_factor(gyr_mid, acc_mid, dt, valid, bg, ba, noise_meas, noise_walk, sc
         F2, Q2 = c2
         return bmm(F2, F1), sandwich(F2, Q1) + Q2
 
-    _, Qc = jax.lax.associative_scan(cov_comp, (Ja.astype(f32), Qk))
+    _, Qterm = _tree_reduce(Ja.astype(f32), Qk, cov_comp,
+                            jnp.eye(9, dtype=f32), jnp.zeros((9, 9), f32))
     dtime = jnp.sum(dtc)
     cov = jnp.zeros((DIM, DIM), jnp.float64)
-    cov = cov.at[0:9, 0:9].set(Qc[-1].astype(jnp.float64))
+    cov = cov.at[0:9, 0:9].set(Qterm.astype(jnp.float64))
     cov = cov.at[9:15, 9:15].set(noise_walk * dtime)
 
     f = _zero()._replace(

@@ -101,6 +101,17 @@ class SlamRunner:
     def __init__(self, cfg: SlamConfig, npad_map: int = 16384, verbose: bool = False,
                  enable_degrade_reset: bool = False, use_fused: bool = True,
                  fetch_every: int = 32):
+        # TPU MXU default precision runs f32 dots as single bf16 passes
+        # (8-bit mantissa). That silently corrupts the initialization chain
+        # in hard regimes: on the stairwell world, motion_init's gravity LM
+        # stalls (rel-residual never < 0.05), |g| lands near 5 instead of
+        # 9.8, plane detection finds 16-69 voxels instead of ~140, and
+        # every window is (correctly) rejected -> 12 resets, while the SAME
+        # code on CPU initializes first-try. "highest" restores f32-true
+        # dots (measured cost on bench.py: see BENCH.md round-4 log).
+        # SURVEY §7 hard-part #5 ("matching CPU double-precision numerics")
+        # made concrete.
+        jax.config.update("jax_default_matmul_precision", "highest")
         self.cfg = cfg
         self.npad_map = npad_map
         self.verbose = verbose
