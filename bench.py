@@ -271,44 +271,124 @@ def main():
 
     cfg, d_npad = make_cfg(big)
 
-    def warm_runner(seed):
-        """Build a runner + sequence, run init + 3 steady frames; return
-        (runner, remaining frames, all frames, gts) or None when the
-        sequence never reaches the fused steady state (init-unfriendly
-        trajectory for this seed)."""
-        STATE["phase"] = f"synth(seed={seed})"
+    import hashlib
+
+    from vina_slam_tpu.platform import checkpoint as ck
+
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_ckpt")
+    use_ckpt = os.environ.get("BENCH_CKPT", "1") == "1"
+
+    def make_world(seed, w_dur, w_az, w_el):
         if os.environ.get("BENCH_WORLD", "room") == "yard":
             # second world family (sensor/worldgen.py): curved + cluttered
             # outdoor yard; BENCH_MOVER=1 adds the dynamic box
             from vina_slam_tpu.sensor import worldgen
             frames, gts = worldgen.simulate_yard_sequence(
-                duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
+                duration=w_dur, n_az=w_az, n_el=w_el, noise=0.005,
                 seed=seed, mover=os.environ.get("BENCH_MOVER", "0") == "1")
             STATE["extras"]["world"] = "yard"
         else:
             frames, gts = synth.simulate_sequence(
-                duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
+                duration=w_dur, n_az=w_az, n_el=w_el, noise=0.005,
                 imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=seed)
-        # map-push bucket: the downsampled cloud is ~2.2k points at these
-        # settings (the <2000 half-size retry fires and lands ~2160);
-        # 3072 cuts every (W, Np) window op 25% vs 4096
-        runner = SlamRunner(cfg, npad_map=int(os.environ.get(
-            "BENCH_NPAD_MAP", d_npad)))
+        return frames, gts
+
+    def warm_runner(seed, w_cfg=None, w_npad=None, w_dur=None, w_az=None,
+                    w_el=None, name="small"):
+        """Build a runner + sequence and reach the fused steady state; return
+        (runner, remaining frames, all frames, gts) or None when the
+        sequence never gets there (init-unfriendly trajectory for this
+        seed). Warm-starts from a committed bench_ckpt/ checkpoint when one
+        matches (format, world, program key, jax version, platform) — the
+        full init phase is a ~1,100 s compile storm through the remote
+        tunnel (BENCH.md cold-start section) and is the reason BENCH_r04
+        recorded 0.0; with a checkpoint only the fused step compiles, and
+        .jax_cache (committed) covers even that."""
+        w_cfg = cfg if w_cfg is None else w_cfg
+        w_npad = (int(os.environ.get("BENCH_NPAD_MAP", d_npad))
+                  if w_npad is None else int(w_npad))
+        w_dur = duration if w_dur is None else w_dur
+        w_az = n_az if w_az is None else w_az
+        w_el = n_el if w_el is None else w_el
+        STATE["phase"] = f"synth({name},seed={seed})"
+        frames, gts = make_world(seed, w_dur, w_az, w_el)
+        STATE["points_per_scan"] = int(
+            np.mean([f.scan.pts.shape[0] for f in frames]))
+        # map-push bucket (small world): the downsampled cloud is ~2.2k
+        # points at these settings (the <2000 half-size retry fires and
+        # lands ~2160); 3072 cuts every (W, Np) window op 25% vs 4096
+        runner = SlamRunner(w_cfg, npad_map=w_npad)
+        key_src = repr((ck.CKPT_FORMAT, name, w_dur, w_az, w_el, seed,
+                        os.environ.get("BENCH_WORLD", "room"),
+                        runner.fused_program_key(), jax.__version__,
+                        jax.devices()[0].platform))
+        key = hashlib.sha1(key_src.encode()).hexdigest()[:10]
+        path = os.path.join(ckpt_dir, f"{name}_s{seed}_{key}.npz")
+
+        if use_ckpt and os.path.exists(path):
+            try:
+                STATE["phase"] = f"ckpt-load({name},seed={seed})"
+                extras = ck.load_checkpoint(path, runner)
+                split = int(extras["split"])
+                assert int(extras["seed"]) == seed
+                assert runner._fused is not None
+                assert len(frames) - split >= 5
+                # two untimed frames pay the fused-step compile (cached)
+                STATE["phase"] = f"ckpt-warm({name},seed={seed})"
+                for f in frames[split:split + 2]:
+                    runner.process_frame(f)
+                runner.sync()
+                STATE["extras"].setdefault("warm_start", {})[name] = "ckpt"
+                log(f"{name}: warm-start from {os.path.basename(path)} "
+                    f"(resume at frame {split}, "
+                    f"{len(frames) - split - 2} to time)")
+                return runner, frames[split + 2:], frames, gts
+            except Exception as e:  # noqa: BLE001 — any mismatch => full path
+                log(f"{name}: checkpoint load failed ({e!r}); full warmup")
+                runner = SlamRunner(w_cfg, npad_map=w_npad)
+
         warmup = 0
         split = len(frames)
-        STATE["phase"] = f"warmup(seed={seed})"
+        t_steady0 = None
+        STATE["phase"] = f"warmup({name},seed={seed})"
         for i, f in enumerate(frames):
             out = runner.process_frame(f)
             if not runner.motion_init_flag and out is not None:
+                if warmup == 0:
+                    runner.sync()
+                    t_steady0 = time.perf_counter()
                 warmup += 1
-                STATE["phase"] = f"warmup(seed={seed},frame={i},steady={warmup})"
+                STATE["phase"] = (f"warmup({name},seed={seed},frame={i},"
+                                  f"steady={warmup})")
+                if warmup >= 2 and name == "small":
+                    # provisional rate so a watchdog partial is never 0.0
+                    # (the real timed loop overwrites these)
+                    runner.sync()
+                    el = time.perf_counter() - t_steady0
+                    STATE["value"] = (warmup - 1) / el
+                    STATE["frames_timed"] = warmup - 1
+                    STATE["extras"]["provisional"] = "warmup_estimate"
             if i % 5 == 0:
-                log(f"warmup seed={seed} frame={i} steady={warmup}")
+                log(f"warmup {name} seed={seed} frame={i} steady={warmup}")
             if warmup >= 3:
                 split = i + 1
                 break
+            if time.perf_counter() > _T0 + budget_s - 60.0:
+                log(f"warmup {name} seed={seed}: budget nearly exhausted")
+                break
         if runner._fused is None or warmup < 3 or len(frames) - split < 3:
             return None
+        if use_ckpt:
+            try:
+                os.makedirs(ckpt_dir, exist_ok=True)
+                ck.save_checkpoint(path, runner,
+                                   extra={"seed": seed, "split": split})
+                log(f"{name}: saved warm-start checkpoint "
+                    f"{os.path.basename(path)}")
+            except Exception as e:  # noqa: BLE001 — saving is best-effort
+                log(f"{name}: checkpoint save failed: {e!r}")
+        STATE["extras"].setdefault("warm_start", {})[name] = "full"
         return runner, frames[split:], frames, gts
 
     def seq_ate(traj, gts):
@@ -362,6 +442,7 @@ def main():
         extras = {}
         # publish the primary result before the secondary capture so a
         # budget/driver kill still records the headline number
+        STATE["extras"].pop("provisional", None)
         STATE.update({"value": scans_per_sec, "ate": ate,
                       "frames_timed": n_timed,
                       "points_per_scan": int(np.mean(
@@ -381,26 +462,20 @@ def main():
             log("secondary capture: big world (>=20k pts/scan)")
             big_cfg, big_npad = make_cfg(True)
             try:
-                b_frames, b_gts = synth.simulate_sequence(
-                    duration=8.0, n_az=1024, n_el=20, noise=0.005,
-                    imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
-                b_runner = SlamRunner(big_cfg, npad_map=int(big_npad))
-                warm = 0
-                split = len(b_frames)
-                for i, f in enumerate(b_frames):
-                    out = b_runner.process_frame(f)
-                    if not b_runner.motion_init_flag and out is not None:
-                        warm += 1
-                    if warm >= 3:
-                        split = i + 1
-                        break
-                    if time.perf_counter() > _T0 + budget_s - 60.0:
-                        break
-                if b_runner._fused is not None and warm >= 3:
+                # points_per_scan is shared watchdog state; restore the
+                # primary's value after the big-world warm_runner touches it
+                pps_primary = STATE["points_per_scan"]
+                b_pack = warm_runner(4, w_cfg=big_cfg, w_npad=big_npad,
+                                     w_dur=8.0, w_az=1024, w_el=20,
+                                     name="big")
+                STATE["points_per_scan"] = pps_primary
+                if b_pack is not None:
+                    b_runner, b_rest, b_frames, b_gts = b_pack
                     b_runner.sync()
+                    STATE["phase"] = "big-world-timed"
                     t0b = time.perf_counter()
                     nb = 0
-                    for f in b_frames[split:]:
+                    for f in b_rest:
                         b_runner.process_frame(f)
                         nb += 1
                         if nb % 4 == 0:

@@ -25,8 +25,13 @@ from vina_slam_tpu.sensor import synth
 
 
 def main():
+    # BIS_BIG=1: realistic Mid-360-class density (bench.py's big world);
+    # warm-starts from the bench_ckpt/ checkpoint when one exists so
+    # profiling never re-pays the init storm.
+    big = _os.environ.get("BIS_BIG", "0") == "1"
+    w_dur, w_az, w_el = (8.0, 1024, 20) if big else (4.0, 180, 12)
     frames, _ = synth.simulate_sequence(
-        duration=4.0, n_az=180, n_el=12, noise=0.005,
+        duration=w_dur, n_az=w_az, n_el=w_el, noise=0.005,
         imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
     cfg = SlamConfig()
     cfg.odometry.voxel_size = 1.0
@@ -37,21 +42,42 @@ def main():
     cfg.local_ba.imu_coef = 2e-4
     cfg.general.if_BA = 1
     # match bench.py's settings so the full-program compile cache is shared
-    cfg.tpu.map_capacity = 1 << 15
-    cfg.tpu.fix_pool_capacity = 1 << 15
-    cfg.tpu.max_voxels_ba = 1024
-    cfg.tpu.max_new_voxels = 1024
-    runner = SlamRunner(cfg, npad_map=3072)
+    cfg.tpu.map_capacity = (1 << 16) if big else (1 << 15)
+    cfg.tpu.fix_pool_capacity = (1 << 16) if big else (1 << 15)
+    cfg.tpu.max_voxels_ba = 2048 if big else 1024
+    cfg.tpu.max_new_voxels = 4096 if big else 1024
+    runner = SlamRunner(cfg, npad_map=8192 if big else 3072)
 
-    warm = 0
-    split = len(frames)
-    for i, f in enumerate(frames):
-        out = runner.process_frame(f)
-        if not runner.motion_init_flag and out is not None:
-            warm += 1
-        if warm >= 10:
-            split = i + 1
-            break
+    split = None
+    if big:
+        import glob
+
+        from vina_slam_tpu.platform import checkpoint as ck
+        for path in sorted(glob.glob(_os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "bench_ckpt", "big_s4_*.npz"))):
+            try:
+                extras = ck.load_checkpoint(path, runner)
+                split = int(extras["split"])
+                print(f"warm-start from {path} (frame {split})", flush=True)
+                break
+            except Exception as e:  # noqa: BLE001 — stale ckpt, keep looking
+                print(f"ckpt {path} unusable: {e!r}", flush=True)
+                split = None
+    if split is None:
+        warm = 0
+        split = len(frames)
+        for i, f in enumerate(frames):
+            out = runner.process_frame(f)
+            if not runner.motion_init_flag and out is not None:
+                warm += 1
+            if warm >= (3 if big else 10):
+                split = i + 1
+                break
+    # advance a couple frames so the profiled state is mid-steady
+    for f in frames[split:split + 2]:
+        runner.process_frame(f)
+    split += 2
     runner.sync()
     st = runner._fused
     args = runner.fused_args(frames[split])

@@ -111,20 +111,24 @@ def load_tum(path):
 
 
 def run_one(name, cfg, duration=8.0, n_az=180, n_el=12, seed=4):
-    from vina_slam_tpu.pipeline.runner import SlamRunner
-    from vina_slam_tpu.platform.metrics import associate, ate_rmse
     from vina_slam_tpu.sensor import synth
-    from vina_slam_tpu.sensor.sync import FrameAssembler
-
-    os.makedirs(TMP, exist_ok=True)
-    out_dir = os.path.join(TMP, name)
-    os.makedirs(out_dir, exist_ok=True)
 
     events, gts = synth.simulate_events(
         duration=duration, n_az=n_az, n_el=n_el, noise=0.005,
         imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=seed,
         ext_R=cfg.ext_R, ext_p=cfg.ext_p,
         span=0.0 if cfg.odometry.point_notime else None)
+    return run_events(name, cfg, events, gts)
+
+
+def run_events(name, cfg, events, gts, npad=8192):
+    from vina_slam_tpu.pipeline.runner import SlamRunner
+    from vina_slam_tpu.platform.metrics import associate, ate_rmse
+    from vina_slam_tpu.sensor.sync import FrameAssembler
+
+    os.makedirs(TMP, exist_ok=True)
+    out_dir = os.path.join(TMP, name)
+    os.makedirs(out_dir, exist_ok=True)
 
     ev_path = os.path.join(out_dir, "events.bin")
     par_path = os.path.join(out_dir, "params.txt")
@@ -153,7 +157,7 @@ def run_one(name, cfg, duration=8.0, n_az=180, n_el=12, seed=4):
         fr = asm.try_assemble()
         if fr is not None:
             frames.append(fr)
-    runner = SlamRunner(cfg, npad_map=8192)
+    runner = SlamRunner(cfg, npad_map=npad)
     t0 = time.perf_counter()
     for fr in frames:
         runner.process_frame(fr)
@@ -193,27 +197,89 @@ def run_one(name, cfg, duration=8.0, n_az=180, n_el=12, seed=4):
     return row
 
 
+def bench_style_cfg():
+    from vina_slam_tpu.core.config import SlamConfig
+
+    cfg = SlamConfig()
+    cfg.odometry.voxel_size = 1.0
+    cfg.odometry.down_size = 0.1
+    cfg.local_ba.win_size = 10
+    cfg.local_ba.max_layer = 2
+    cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
+    cfg.local_ba.imu_coef = 2e-4
+    cfg.general.if_BA = 1
+    cfg.tpu.map_capacity = 1 << 16
+    cfg.tpu.fix_pool_capacity = 1 << 16
+    cfg.tpu.max_voxels_ba = 2048
+    return cfg
+
+
+def run_scenario(kind):
+    """Hard-regime replays (VERDICT r4 item 5): same worlds/trajectories as
+    scripts/degenerate_runs.py, where ATE sits well above the simulator
+    noise floor — the regimes that stress the reference's init gates
+    (initialization.cpp:285,302-323) and degeneracy verdict
+    (odometry.cpp:244-254)."""
+    from vina_slam_tpu.core.config import load_config
+    from vina_slam_tpu.sensor import synth
+
+    if kind == "corridor":
+        speed, dur = 8.0, 10.0
+        patches = synth.corridor_world(length=speed * dur + 40.0)
+        traj = synth.LinearTrajectory(speed=speed)
+        events, gts = synth.simulate_events(
+            duration=dur, traj=traj, patches=patches, n_az=180, n_el=12,
+            noise=0.005, imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4,
+            max_range=30.0)
+        return run_events("corridor(80m)", bench_style_cfg(), events, gts)
+    if kind == "stairwell":
+        dur, turn_s = 14.0, 6.0
+        n_floors = int(np.ceil((dur - 1.5) / turn_s)) + 1
+        patches = synth.stairwell_world(n_floors=n_floors)
+        traj = synth.HelixTrajectory(turn_s=turn_s, climb=3.0 / turn_s)
+        events, gts = synth.simulate_events(
+            duration=dur, traj=traj, patches=patches, n_az=180, n_el=12,
+            noise=0.01, imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4,
+            max_range=20.0, el_range=(-0.9, 0.9))
+        cfg = bench_style_cfg()
+        cfg.odometry.voxel_size = 0.5  # small-patch world: finer voxels
+        return run_events("stairwell(60dps)", cfg, events, gts)
+    if kind == "flight":
+        from vina_slam_tpu.sensor.worldgen import yard_world
+        scene = yard_world(seed=7, clutter=150)
+        traj = synth.FlightTrajectory()
+        events, gts = synth.simulate_events(
+            duration=12.0, traj=traj, patches=scene, n_az=180, n_el=12,
+            noise=0.01, imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=7,
+            max_range=60.0, el_range=(-1.1, 0.2))
+        cfg = load_config(os.path.join(HERE, "configs", "outdoor_fly.yaml"))
+        cfg.tpu.map_capacity = 1 << 16
+        cfg.tpu.fix_pool_capacity = 1 << 16
+        cfg.tpu.max_voxels_ba = 2048
+        return run_events("flight(12mps)", cfg, events, gts)
+    if kind == "long60":
+        # 60 s duration on the benign room: drift accumulation over 600
+        # frames, an order longer than the 8 s standard rows
+        return run_one("long60", bench_style_cfg(), duration=60.0)
+    raise ValueError(kind)
+
+
+SCENARIOS = ("corridor", "stairwell", "flight", "long60")
+
+
 def main():
-    from vina_slam_tpu.core.config import SlamConfig, load_config
+    from vina_slam_tpu.core.config import load_config
 
     names = sys.argv[1:]
     rows = []
     if not names:
         # the bench-style small config first (known-good init envelope)
-        cfg = SlamConfig()
-        cfg.odometry.voxel_size = 1.0
-        cfg.odometry.down_size = 0.1
-        cfg.local_ba.win_size = 10
-        cfg.local_ba.max_layer = 2
-        cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
-        cfg.local_ba.imu_coef = 2e-4
-        cfg.general.if_BA = 1
-        cfg.tpu.map_capacity = 1 << 16
-        cfg.tpu.fix_pool_capacity = 1 << 16
-        cfg.tpu.max_voxels_ba = 2048
-        rows.append(run_one("small", cfg))
+        rows.append(run_one("small", bench_style_cfg()))
         names = ["velodyne", "compus_elevator", "tartanair"]
     for prof in names:
+        if prof in SCENARIOS:
+            rows.append(run_scenario(prof))
+            continue
         cfg = load_config(os.path.join(HERE, "configs", prof + ".yaml"))
         cfg.tpu.map_capacity = 1 << 16
         cfg.tpu.fix_pool_capacity = 1 << 16
@@ -222,20 +288,29 @@ def main():
         rows.append(run_one(prof, cfg))
 
     out_md = os.path.join(HERE, "PARITY_REF.md")
-    with open(out_md, "w") as f:
-        f.write(
-            "# PARITY_REF — ours vs the COMPILED reference pipeline\n\n"
-            "The reference's own main loop (`thd_odometry_localmapping` +\n"
-            "`initialization` + `odometry`, compiled UNMODIFIED from\n"
-            "`/root/reference/src` by `csrc/Makefile` target `refpipe`)\n"
-            "replays the same synthetic events our runner consumes and\n"
-            "writes its TUM trajectory via its own `FileReaderWriter`.\n"
-            "ATE columns: each pipeline vs simulator ground truth, plus the\n"
-            "direct ours-vs-reference trajectory RMSE at associated\n"
-            "stamps.\n\n"
-            "| profile | frames | ref rows | our rows | ref vs GT (mm) | "
-            "ours vs GT (mm) | ours vs ref (mm) | assoc | ref s | ours s |\n"
-            "|---|---|---|---|---|---|---|---|---|---|\n")
+    append = os.environ.get("REF_REPLAY_APPEND", "0") == "1"
+    with open(out_md, "a" if append else "w") as f:
+        if not append:
+            f.write(
+                "# PARITY_REF — ours vs the COMPILED reference pipeline\n\n"
+                "The reference's own main loop (`thd_odometry_localmapping` "
+                "+\n"
+                "`initialization` + `odometry`, compiled UNMODIFIED from\n"
+                "`/root/reference/src` by `csrc/Makefile` target `refpipe`)\n"
+                "replays the same synthetic events our runner consumes and\n"
+                "writes its TUM trajectory via its own `FileReaderWriter`.\n"
+                "ATE columns: each pipeline vs simulator ground truth, plus "
+                "the\n"
+                "direct ours-vs-reference trajectory RMSE at associated\n"
+                "stamps. `ref s` / `ours s` are whole-replay wall times; "
+                "ours\n"
+                "INCLUDES one-time jit compilation (cold start), so it is "
+                "NOT\n"
+                "a steady-state throughput comparison — bench.py is.\n\n"
+                "| profile | frames | ref rows | our rows | ref vs GT (mm) | "
+                "ours vs GT (mm) | ours vs ref (mm) | assoc | ref s | "
+                "ours s* |\n"
+                "|---|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['profile']} | {r['frames']} | {r['ref_rows']} "
                     f"| {r['our_rows']} | {r['ate_ref_mm']} "

@@ -14,6 +14,11 @@ import jax.numpy as jnp
 
 from vina_slam_tpu.core.state import NavState
 
+# Bump whenever the saved layout or the semantics of a restored field change:
+# stale-format checkpoints are refused by loaders that pin it (bench.py's
+# warm-start keys include it) instead of silently restoring garbage.
+CKPT_FORMAT = 2
+
 
 def _flat(prefix: str, nt) -> dict:
     return {f"{prefix}.{name}": np.asarray(v) for name, v in nt._asdict().items()}
@@ -24,7 +29,11 @@ def _unflat(prefix: str, cls, d: dict):
                   for name in cls._fields})
 
 
-def save_checkpoint(path: str, runner) -> None:
+def save_checkpoint(path: str, runner, extra: dict | None = None) -> None:
+    """Dump the full runner state; `extra` entries (small numeric arrays or
+    scalars) ride along under `extra.<key>` and come back from
+    load_checkpoint — bench.py uses them for warm-start bookkeeping
+    (world seed / resume frame index)."""
     # in fused mode the modular fields are stale _enter_fused()-time
     # snapshots; pull the live device state back first
     runner.sync_from_fused()
@@ -58,10 +67,18 @@ def save_checkpoint(path: str, runner) -> None:
     out["traj_p"] = np.asarray([r[2] for r in runner.traj])
     out["traj_d"] = np.asarray([bool(r[3]) if len(r) > 3 else False
                                 for r in runner.traj])
+    out["format"] = np.asarray([CKPT_FORMAT])
+    # sticky IMU pad bucket: restoring it keeps the resumed fused step on the
+    # SAME compiled program shape the checkpointing run used
+    out["imu_sticky"] = np.asarray([runner._imu_sticky])
+    for k, v in (extra or {}).items():
+        out[f"extra.{k}"] = np.asarray(v)
     np.savez_compressed(path, **out)
 
 
-def load_checkpoint(path: str, runner) -> None:
+def load_checkpoint(path: str, runner) -> dict:
+    """Restore `runner` from `path`; returns the `extra` dict saved with it
+    (empty for checkpoints written without one)."""
     from vina_slam_tpu.estimation.preintegration import PreintFactor
     from vina_slam_tpu.mapping.voxel_map import FixPool, VoxelMap
 
@@ -95,9 +112,13 @@ def load_checkpoint(path: str, runner) -> None:
         [float(t), R.reshape(3, 3), p, bool(dg)]
         for t, R, p, dg in zip(d["traj_t"], d["traj_R"], d["traj_p"], traj_d)
     ]
+    if "imu_sticky" in d:
+        runner._imu_sticky = int(d["imu_sticky"][0])
     # a runner that was checkpointed mid-run in fused mode resumes fused:
     # rebuild the device-resident SteadyState from the restored fields
     runner._fused = None
     runner._pending_rows = 0
     if runner.use_fused and not runner.motion_init_flag and runner.x_buf:
         runner._enter_fused()
+    return {k[len("extra."):]: v for k, v in d.items()
+            if k.startswith("extra.")}
