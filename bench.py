@@ -266,6 +266,11 @@ def main():
             cfg.tpu.max_new_voxels = 4096
             cfg.tpu.max_voxels_ba = int(os.environ.get("BENCH_MAX_VOXELS_BA",
                                                        "2048"))
+            # the freshly pushed frame re-descends ALL its npad points in
+            # recut's verify wave; a cap below npad+movers forces straggler
+            # waves EVERY scan (2-3x recut cost — measured via
+            # scripts/micro_big.py)
+            cfg.tpu.refind_cap = 12288
             npad = "8192"
         return cfg, npad
 

@@ -46,6 +46,8 @@ def main():
     cfg.tpu.fix_pool_capacity = (1 << 16) if big else (1 << 15)
     cfg.tpu.max_voxels_ba = 2048 if big else 1024
     cfg.tpu.max_new_voxels = 4096 if big else 1024
+    if big:
+        cfg.tpu.refind_cap = 12288
     runner = SlamRunner(cfg, npad_map=8192 if big else 3072)
 
     split = None

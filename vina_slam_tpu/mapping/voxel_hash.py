@@ -194,11 +194,22 @@ def fingerprint32(key: jnp.ndarray) -> jnp.ndarray:
     return ((h >> jnp.uint64(33)).astype(jnp.int32) + 1)  # in [1, 2^31]
 
 
-@partial(jax.jit, static_argnames=("probe", "rounds"))
+@partial(jax.jit, static_argnames=("probe", "rounds", "quadratic"))
 def insert_keys32(table_keys: jnp.ndarray, new_keys: jnp.ndarray,
-                  valid: jnp.ndarray, probe: int = 16, rounds: int = 16):
+                  valid: jnp.ndarray, probe: int = 16, rounds: int = 16,
+                  quadratic: bool = False):
     """insert_keys for int32 fingerprint tables (same early-exit
-    claim-and-verify; see insert_keys)."""
+    claim-and-verify; see insert_keys).
+
+    quadratic=True probes the triangular-number sequence h0 + i(i+1)/2
+    (which visits every slot of a power-of-two table) instead of linear
+    h0 + i. Linear probing's primary clustering made the per-scan
+    downsample table the hottest piece of the 20k-pt fused step: at load
+    ~0.5 the longest cluster needed ~30 claim-and-verify rounds of the
+    full (N,) gather+scatter, while quadratic probing's cluster-hopping
+    converges in <= ~8 (measured, scripts/micro_big.py). Only meaningful
+    for throwaway tables whose slots never get re-probed by a separate
+    find pass — the probe SEQUENCE is baked into the returned slots."""
     C = table_keys.shape[0]
     cmask = jnp.int32(C - 1)
     h = new_keys.astype(jnp.uint32)
@@ -207,11 +218,11 @@ def insert_keys32(table_keys: jnp.ndarray, new_keys: jnp.ndarray,
     h0 = ((h ^ (h >> 16)) & jnp.uint32(C - 1)).astype(jnp.int32)
 
     def cond(carry):
-        keys, offset, done, slots, it, pending = carry
+        keys, offset, step, done, slots, it, pending = carry
         return pending & (it < rounds)
 
     def body(carry):
-        keys, offset, done, slots, it, _ = carry
+        keys, offset, step, done, slots, it, _ = carry
         slot_try = (h0 + offset) & cmask
         occ = keys[slot_try]
         need = valid & ~done
@@ -222,13 +233,18 @@ def insert_keys32(table_keys: jnp.ndarray, new_keys: jnp.ndarray,
         won = need & (occ2 == new_keys)
         slots = jnp.where(won, slot_try, slots)
         done = done | won
-        offset = jnp.where(done | ~valid, offset,
-                           jnp.minimum(offset + 1, probe - 1))
-        return (keys, offset, done, slots, it + 1, jnp.any(valid & ~done))
+        if quadratic:
+            adv = offset + step
+        else:
+            adv = jnp.minimum(offset + 1, probe - 1)
+        offset = jnp.where(done | ~valid, offset, adv)
+        return (keys, offset, step + 1, done, slots, it + 1,
+                jnp.any(valid & ~done))
 
-    init = (table_keys, jnp.zeros_like(h0), jnp.zeros_like(valid),
+    init = (table_keys, jnp.zeros_like(h0), jnp.asarray(1, jnp.int32),
+            jnp.zeros_like(valid),
             jnp.full_like(h0, -1), jnp.asarray(0, jnp.int32), jnp.any(valid))
-    table_keys, _, done, slots, _, _ = jax.lax.while_loop(cond, body, init)
+    table_keys, _, _, done, slots, _, _ = jax.lax.while_loop(cond, body, init)
     return table_keys, slots, done
 
 

@@ -35,8 +35,10 @@ def _seg_hash(pts, valid, voxel, out_size: int):
     fp = vh.fingerprint32(vh.encode(0, coords))
     tbl, slots, _ = vh.insert_keys32(
         jnp.full((T,), vh.EMPTY32, jnp.int32), fp, valid,
-        probe=32, rounds=32)  # deep probe: drops lose real points; the
+        probe=32, rounds=32,  # deep probe: drops lose real points; the
                               # early-exit round loop makes unused depth free
+        quadratic=True)       # linear probing's clustering at load ~0.5 ran
+                              # ~30 full-array rounds at 20k-pt scans
     occ = tbl != vh.EMPTY32
     rows = vh.compact_indices(occ, out_size, T)
     inv = jnp.full(T + 1, out_size, jnp.int32).at[

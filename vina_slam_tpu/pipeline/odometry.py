@@ -91,7 +91,7 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
         fp = vh.fingerprint32(vh.encode(l, coords))
         tbl, slots, placed = vh.insert_keys32(
             jnp.full((cap,), vh.EMPTY32, jnp.int32), fp, vmask,
-            probe=8, rounds=8)
+            probe=8, rounds=8, quadratic=True)
         seg = jnp.where(vmask & (slots >= 0), slots, cap)
         inb = seg < cap
         ucoords = jnp.zeros((cap, 3), jnp.int32).at[
@@ -193,12 +193,19 @@ def iekf_iteration_math(x_prop: NavState, cov_inv, x_c: NavState, pts_body,
     # [p]x (R^T n) as a cross product: keeps the loop free of a
     # captured (N, 3, 3) skew table (a full (8,128) tile per point)
     jac_rot = jnp.cross(pts_body, nrm @ R32)
-    jac = jnp.concatenate([jac_rot, nrm], axis=-1).astype(jnp.float64)
-    w64 = w_r.astype(jnp.float64)
-    HTH = jnp.einsum("n,ni,nj->ij", w64, jac, jac)
-    HTz = -jnp.einsum("n,ni,n->i", w64, jac, resi.astype(jnp.float64))
-    nnt = jnp.einsum("n,ni,nj->ij", ok.astype(jnp.float64),
-                     nrm.astype(jnp.float64), nrm.astype(jnp.float64))
+    jac = jnp.concatenate([jac_rot, nrm], axis=-1)
+    # the big per-point reductions run in f32 on the MXU (at 20k+ points the
+    # f64-einsum form was the hottest op of the whole IEKF: f64 dots are
+    # software-emulated on TPU). f32-true accumulation over N~2e4 terms
+    # carries ~sqrt(N)*2^-24 ~ 1e-5 relative error into the 6x6 normal
+    # equations — absorbed by the f64 solve + refined inverse downstream
+    # (same split as the BA's f32-Cholesky + f64-refinement). ATE parity
+    # re-pinned on both bench worlds + the stairwell init after the change.
+    jw = jac * w_r[:, None]
+    HTH = (jw.T @ jac).astype(jnp.float64)
+    HTz = -(jw.T @ resi).astype(jnp.float64)
+    nok = jnp.where(ok[:, None], nrm, 0.0)
+    nnt = (nok.T @ nok).astype(jnp.float64)
     match_num = jnp.sum(ok, dtype=jnp.int32)
 
     if scan_planes is not None:
