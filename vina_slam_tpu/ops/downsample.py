@@ -30,7 +30,11 @@ def _seg_hash(pts, valid, voxel, out_size: int):
     factor low (hash clustering at load ~0.5 cost ~10 insert rounds);
     occupied slots are then compacted into out_size rows, which may be any
     size (half-step scan buckets like 3072)."""
-    T = 1 << (2 * out_size - 1).bit_length()
+    # 4x out_size: at 20k-pt scans the unique-voxel count can exceed
+    # out_size, so a 2x table ran at load ~0.6 and even quadratic probing
+    # needed ~8 full-array rounds; load ~0.3 converges in ~4 (the extra
+    # capacity costs only a wider compact_indices, ~0.1 ms)
+    T = 1 << (4 * out_size - 1).bit_length()
     coords = vh.coords_of(pts, voxel)
     fp = vh.fingerprint32(vh.encode(0, coords))
     tbl, slots, _ = vh.insert_keys32(

@@ -144,16 +144,19 @@ def steady_step(
     dpts, dvalid, n_ds = ds_ops.downsample_mean(
         deskewed, pts_valid, down32, npad_map)
 
-    # half-size retry only when the scan came out sparse — a 0/1-iteration
-    # while_loop so the second downsample doesn't execute every scan
-    def ds_retry(carry):
+    # half-size retry only when the scan came out sparse — a lax.cond, NOT
+    # the 0/1-iteration while_loop used for the map-carrying branches: this
+    # carry is tiny ((Np,3)+(Np,) ~100 KB, so the cond's untaken-identity
+    # copy is free), while the while form stalled the step ~15 ms per scan
+    # at 20k-pt density even at zero iterations (scripts/micro_down.py:
+    # while 28.7 ms vs cond 13.3 ms vs bare op 13.1 ms).
+    def ds_retry(_):
         dp2, dv2, _ = ds_ops.downsample_mean(
             deskewed, pts_valid, down32 / 2, npad_map)
-        return dp2, dv2, jnp.asarray(True)
+        return dp2, dv2
 
-    dpts, dvalid, _ = jax.lax.while_loop(
-        lambda c: ~c[2] & (n_ds < 2000), ds_retry,
-        (dpts, dvalid, jnp.asarray(False)))
+    dpts, dvalid = jax.lax.cond(
+        n_ds < 2000, ds_retry, lambda _: (dpts, dvalid), ())
     if stop_after == "down":
         return st._replace(x=x, win_pts=st.win_pts.at[0, : dpts.shape[0]].set(dpts))
 

@@ -65,7 +65,13 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
     N = pts.shape[0]
     f32 = pts.dtype
     outs = []
-    parent_split = jnp.ones(N, bool)  # level-0: all points participate
+    # levels > 0 only see points whose parent voxel subdivided; for large
+    # scans those are COMPACTED to half the previous level's rows (rooms are
+    # mostly planar at level 0, so the deep levels otherwise re-pay the full
+    # 24k-row insert + segment-sum for a handful of split corners). Small
+    # scans (< 8192) skip the compaction so the reference-oracle surface is
+    # bit-identical there.
+    cur_pts, cur_valid = pts, valid
 
     def _pow2_ceil(v):
         p = 1
@@ -74,14 +80,16 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
         return p
 
     for l in range(levels):
+        pts_l, valid_l = cur_pts, cur_valid
+        Ncur = pts_l.shape[0]
         # a level can never hold more occupied voxels than there are scan
         # points, so cap the (insert table + eigh3 + plane-gate) row count
         # at the padded scan size — the configured caps were sized for
         # 8k-16k-point scans and dominate this stage at smaller buckets
-        cap = min(caps[min(l, len(caps) - 1)], _pow2_ceil(N))
+        cap = min(caps[min(l, len(caps) - 1)], _pow2_ceil(Ncur))
         edge = voxel_size / (2.0 ** l)
-        coords = vh.coords_of(pts, edge)
-        vmask = valid & parent_split
+        coords = vh.coords_of(pts_l, edge)
+        vmask = valid_l
         # per-scan voxelization via a throwaway int32-fingerprint table
         # (claim-and-verify insert; vh.fingerprint32 for the collision
         # tradeoff): segment ids are hash slots. Replaces jnp.unique +
@@ -101,7 +109,7 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
         # quantity is a lane-packed (cap,) vector
         w = inb.astype(f32)
         centers_vox = (coords.astype(f32) + 0.5) * edge
-        rel = (pts - centers_vox) * w[:, None]
+        rel = (pts_l - centers_vox) * w[:, None]
         rx, ry, rz = rel[..., 0], rel[..., 1], rel[..., 2]
         flat = jnp.stack([rx * rx, rx * ry, rx * rz, ry * ry, ry * rz,
                           rz * rz, rx, ry, rz, w], axis=-1)
@@ -145,7 +153,13 @@ def extract_scan_planes(pts, valid, voxel_size, min_eigen_value, plane_thre,
         if l < levels - 1:
             # subdivide: not a plane, populated enough (octree.cpp:664-668)
             split_vox = occupied & ~is_pl & (n >= 6)
-            parent_split = parent_split & inb & split_vox[jnp.minimum(seg, cap - 1)]
+            psplit = valid_l & inb & split_vox[jnp.minimum(seg, cap - 1)]
+            if Ncur >= 8192:
+                rows = vh.compact_indices(psplit, Ncur // 2, -1)
+                cur_pts = pts_l[jnp.maximum(rows, 0)]
+                cur_valid = rows >= 0
+            else:
+                cur_pts, cur_valid = pts_l, psplit
 
     allp = ScanPlanes(
         center=jnp.concatenate([o.center for o in outs]),
