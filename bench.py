@@ -324,10 +324,15 @@ def main():
         # points at these settings (the <2000 half-size retry fires and
         # lands ~2160); 3072 cuts every (W, Np) window op 25% vs 4096
         runner = SlamRunner(w_cfg, npad_map=w_npad)
+        # key on STATE-shape-relevant structure only (ms / W / npad), not the
+        # full fused_program_key: the checkpoint payload is program-agnostic
+        # (load_checkpoint restores plain arrays), so cfgs-tuning changes
+        # (e.g. recut_defer) keep warm-starts valid; a genuine shape
+        # mismatch still fails the load and falls back to full warmup
         key_src = repr((ck.CKPT_FORMAT, name, w_dur, w_az, w_el, seed,
                         os.environ.get("BENCH_WORLD", "room"),
-                        runner.fused_program_key(), jax.__version__,
-                        jax.devices()[0].platform))
+                        runner.ms, runner.W, runner.npad_map,
+                        jax.__version__, jax.devices()[0].platform))
         key = hashlib.sha1(key_src.encode()).hexdigest()[:10]
         path = os.path.join(ckpt_dir, f"{name}_s{seed}_{key}.npz")
 

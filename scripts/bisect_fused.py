@@ -85,8 +85,8 @@ def main():
     args = runner.fused_args(frames[split])
     assert args is not None
 
-    stages = ["prop", "down", "iekf", "win", "recut", "extract", "lm", "ba",
-              "all"]
+    stages = ["prop", "down", "iekf", "win", "recut_assign", "recut_nobf",
+              "recut_nowhile", "recut", "extract", "lm", "ba", "all"]
     prev = 0.0
     print(f"{'prefix':10s} {'total ms':>9s} {'delta ms':>9s}", flush=True)
     for stage in stages:

@@ -105,6 +105,11 @@ class TpuConfig:
     pool_move_cap: int = 2048          # pool points redistributed per wave
     evict_dist: float = 700.0          # map release distance (reference
                                        # hardcodes 700 m, local_mapping.cpp:323)
+    # fused steady path: 1 = one recut wave per scan, split cascades heal on
+    # the NEXT scan (an XLA while_loop at map scale costs ~10 ms/scan in
+    # loop-state copies even at zero iterations — voxel_map.recut "defer");
+    # 0 = full same-scan cascade via the while_loop (reference-exact timing)
+    recut_defer: int = 1
     scan_dtype: str = "float32"
     solve_dtype: str = "float64"
 

@@ -707,11 +707,11 @@ def _mom_scatter(tbl, f_id, slots, rel, ok, sign, C):
 # ----------------------------------------------------------------- recut
 
 @partial(jax.jit, static_argnames=("ms", "win", "debug", "return_counts",
-                              "return_frame_moments"))
+                              "return_frame_moments", "stage"))
 def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
           ms: MapStatic, win: int, jour, cached=None, win_var=None,
           new_mask=None, debug: bool = False, return_counts: bool = False,
-          return_frame_moments: bool = False, mom=None):
+          return_frame_moments: bool = False, mom=None, stage: str = "all"):
     """Re-fit planes / subdivide after pose updates.
 
     cached: optional (W, Np) i32 leaf slots from the previous recut (-1 =
@@ -945,6 +945,70 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     if mom is not None:
         assert cached is not None, "persistent moments require cached slots"
 
+    if mom is not None:
+        # -------- persistent path: EVERY wave (incl. the first) runs inside
+        # ONE while_loop. With wave 1 outside, the loop's entry carries were
+        # wave-1 OUTPUTS and XLA's copy-insertion materialized the whole
+        # map + pool + (W, C, 10) table into the loop state (~11 ms/scan at
+        # 20k-pt shapes, scripts/bisect_fused.py recut vs recut_nowhile) —
+        # entering with the caller's (donated) buffers aliases instead. The
+        # first wave pays one extra _pool_fix (a no-op unless a previous
+        # scan's wave cap left split nodes unredistributed — which this
+        # sweep then heals, octree.cpp:257-277 semantics).
+        def w_cond(carry):
+            return carry[7] & (carry[4] < ms.levels + 1)
+
+        def w_body(carry):
+            mm, pp, s, lv, w, _, tb, _ = carry
+            mm, pp = _pool_fix(mm, pp, params, ms, jour)
+            mm, s, tb, drp = assign_cached(mm, s, tb)
+            mm, lv, unf, wn, tb = refit(mm, s, tb)
+            return mm, pp, s, lv, w + 1, wn, tb, unf | drp
+
+        flat_prev = cached.reshape(-1)
+        carry0 = (m, pool, flat_prev, jnp.zeros_like(flat_prev),
+                  jnp.asarray(0, jnp.int32), jnp.zeros(C, jnp.float32), tbl0,
+                  jnp.asarray(True))
+        if stage == "assign":      # profiling bisect: one wave, no refit
+            m, pool = _pool_fix(m, pool, params, ms, jour)
+            m, slots, accf, _ = assign_cached(m, flat_prev, tbl0)
+            levels_pt = jnp.zeros_like(flat_prev)
+            waves = jnp.asarray(0, jnp.int32)
+            win_n = jnp.zeros(C, jnp.float32)
+        elif stage in ("defer", "nowhile"):
+            # ---- deferred-cascade mode (the fused steady path's default,
+            # cfg.tpu.recut_defer): EXACTLY one wave per scan, no
+            # while_loop. An XLA while_loop at these shapes costs ~10-11
+            # ms/scan in loop-state copies EVEN when its body runs zero or
+            # one times (bisect_fused recut vs recut_nowhile, all three
+            # loop placements tried) — more than the wave itself (~8 ms).
+            # Instead, a split cascade heals across SCANS: a voxel that
+            # wants splitting is marked split now; its points re-descend
+            # (creating the children) in the NEXT scan's wave, whose
+            # leading _pool_fix also redistributes the pool points of
+            # just-split leaves (octree.cpp:257-277 semantics, one scan
+            # late). Until then the parent is state==1, so factor
+            # extraction, matching, and margi's plane refresh skip it — a
+            # one-scan gap per cascade level, bounded by `levels`. Margi
+            # absorbing a to-be-split slot stays correct: the parent's fix
+            # stats are never read again and the pool copy re-adds the
+            # mass to the children on redistribution.
+            out1 = w_body(carry0)
+            m, pool, slots, levels_pt, waves, win_n, accf, _ = out1
+        else:
+            (m, pool, slots, levels_pt, waves, win_n, accf,
+             _) = jax.lax.while_loop(w_cond, w_body, carry0)
+        out = (m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np))
+        if debug:
+            n_lost = jnp.sum(flat_v & (slots == -1))
+            n_full = jnp.sum(flat_v & (slots == -2))
+            out = out + ((waves, n_lost, n_full),)
+        if return_counts:
+            out = out + (win_n,)
+        if return_frame_moments:
+            out = out + (accf,)
+        return out
+
     if cached is None:
         m, slots = assign_insert(m, flat_w, flat_v, params, ms, jour,
                                  create_roots=True)
@@ -956,8 +1020,28 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
         dropped = jnp.asarray(False)
     else:
         m, slots, tbl0, dropped = assign_cached(m, cached.reshape(-1), tbl0)
+    if stage == "assign":  # profiling bisect: wave-1 assignment only
+        z = jnp.zeros_like(slots)
+        out = (m, pool, slots.reshape(W, Np), z.reshape(W, Np))
+        if debug:
+            out = out + ((jnp.asarray(0, jnp.int32), 0, 0),)
+        if return_counts:
+            out = out + (jnp.zeros(C, jnp.float32),)
+        if return_frame_moments:
+            out = out + (tbl0 if tbl0 is not None
+                         else jnp.zeros((W, C, 10), jnp.float32),)
+        return out
     m, levels_pt, unfinished, win_n, accf = refit(m, slots, tbl0)
     unfinished = unfinished | dropped
+    if stage == "nowhile":  # profiling bisect: skip straggler waves
+        out = (m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np))
+        if debug:
+            out = out + ((jnp.asarray(1, jnp.int32), 0, 0),)
+        if return_counts:
+            out = out + (win_n,)
+        if return_frame_moments:
+            out = out + (accf,)
+        return out
 
     # Later waves run only while the previous one split a node or left
     # stragglers; a while_loop (not a chain of conds) because XLA aliases
@@ -968,38 +1052,20 @@ def recut(m: VoxelMap, pool: FixPool, win_pts_w, win_valid, params: MapParams,
     # whose leaf split — split waves cost O(affected points), not O(window +
     # pool). levels+1 passes cover a full split cascade plus a straggler
     # pass.
-    if tbl0 is None:
-        def w_cond(carry):
-            return carry[7] & (carry[4] < ms.levels + 1)
+    def w_cond(carry):
+        return carry[7] & (carry[4] < ms.levels + 1)
 
-        def w_body(carry):
-            mm, pp, s, lv, w, _, _, _ = carry
-            mm, pp = _pool_fix(mm, pp, params, ms, jour)
-            mm, s, _, drp = assign_cached(mm, s)
-            mm, lv, unf, wn, af = refit(mm, s)
-            return mm, pp, s, lv, w + 1, wn, af, unf | drp
+    def w_body(carry):
+        mm, pp, s, lv, w, _, _, _ = carry
+        mm, pp = _pool_fix(mm, pp, params, ms, jour)
+        mm, s, _, drp = assign_cached(mm, s)
+        mm, lv, unf, wn, af = refit(mm, s)
+        return mm, pp, s, lv, w + 1, wn, af, unf | drp
 
-        m, pool, slots, levels_pt, waves, win_n, accf, _ = jax.lax.while_loop(
-            w_cond, w_body,
-            (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), win_n,
-             accf, unfinished))
-    else:
-        # persistent path: the table rides the carry; refit consumes it
-        # directly (accf IS the table), so the wave does no segment-sum
-        def w_cond(carry):
-            return carry[7] & (carry[4] < ms.levels + 1)
-
-        def w_body(carry):
-            mm, pp, s, lv, w, _, tb, _ = carry
-            mm, pp = _pool_fix(mm, pp, params, ms, jour)
-            mm, s, tb, drp = assign_cached(mm, s, tb)
-            mm, lv, unf, wn, tb = refit(mm, s, tb)
-            return mm, pp, s, lv, w + 1, wn, tb, unf | drp
-
-        m, pool, slots, levels_pt, waves, win_n, accf, _ = jax.lax.while_loop(
-            w_cond, w_body,
-            (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), win_n,
-             accf, unfinished))
+    m, pool, slots, levels_pt, waves, win_n, accf, _ = jax.lax.while_loop(
+        w_cond, w_body,
+        (m, pool, slots, levels_pt, jnp.asarray(1, jnp.int32), win_n,
+         accf, unfinished))
 
     out = (m, pool, slots.reshape(W, Np), levels_pt.reshape(W, Np))
     if debug:

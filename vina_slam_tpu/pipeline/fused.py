@@ -80,6 +80,17 @@ def make_steady_state(m, pool, x, xs, pre_f, win_pts, win_var, win_valid,
     )
 
 
+@jax.jit
+def package_steady_state(m, pool, x, xs, pre_f, win_pts, win_var, win_valid,
+                         win_count, jour, last_pos, scan_idx) -> SteadyState:
+    """make_steady_state as ONE program whose outputs are fresh buffers
+    (jit outputs never alias undonated inputs) — the fused-entry copy set,
+    without the ~25 eager per-leaf copy dispatches."""
+    return make_steady_state(m, pool, x, xs, pre_f, win_pts, win_var,
+                             win_valid, win_count, jour, last_pos,
+                             scan_idx=scan_idx)
+
+
 def _set_frame(arr, i, val):
     return jax.lax.dynamic_update_index_in_dim(arr, val, i, 0)
 
@@ -114,7 +125,8 @@ def steady_step(
     stop_after: str = "all",  # profiling bisect: compile a prefix program
 ):
     (if_ba, npad_map, ba_iters, use_normal, use_vnc, point_notime,
-     iekf_iters) = cfgs
+     iekf_iters) = cfgs[:7]
+    recut_defer = cfgs[7] if len(cfgs) > 7 else True
     x = st.x
 
     # ---------------- EKF propagation + deskew ----------------
@@ -225,15 +237,21 @@ def steady_step(
         (jnp.arange(W) == new_row)[:, None], win_valid.shape)
     # st.win_mom is valid under st.xs poses == xs rows 0..i-1 (the push only
     # filled row i, whose table row is empty), so recut consumes it as-is
+    recut_stage = (stop_after[6:] if stop_after.startswith("recut_")
+                   else ("defer" if recut_defer else "all"))
     m, pool0, slots, _, win_n, win_accf = vm.recut(
         st.m, st.pool, win_w, win_valid, params, ms, W, st.jour,
-        cached=win_slots_hint, win_var=win_var, new_mask=new_mask,
-        return_counts=True, return_frame_moments=True, mom=st.win_mom)
+        cached=win_slots_hint,
+        win_var=None if stop_after == "recut_nobf" else win_var,
+        new_mask=new_mask,
+        return_counts=True, return_frame_moments=True, mom=st.win_mom,
+        stage=("defer" if recut_defer else "all")
+        if recut_stage == "nobf" else recut_stage)
     win_slots = slots
     # the returned frame-moment table IS the persistent table under the
     # current (pre-BA) poses
     win_mom = win_accf
-    if stop_after == "recut":
+    if stop_after == "recut" or stop_after.startswith("recut_"):
         return st._replace(x=x, m=m, pool=pool0, win_slots=slots,
                            win_mom=win_mom)
     factors = fx.extract_factors(m, slots, win_w, win_valid, xs.R, xs.p,
