@@ -25,8 +25,10 @@ from vina_slam_tpu.sensor import synth
 
 
 def main():
+    big = _os.environ.get("HO_BIG", "0") == "1"
+    w_dur, w_az, w_el = (8.0, 1024, 20) if big else (8.0, 180, 12)
     frames, _ = synth.simulate_sequence(
-        duration=8.0, n_az=180, n_el=12, noise=0.005,
+        duration=w_dur, n_az=w_az, n_el=w_el, noise=0.005,
         imu_noise_gyr=1e-3, imu_noise_acc=1e-3, seed=4)
     cfg = SlamConfig()
     cfg.odometry.voxel_size = 1.0
@@ -36,21 +38,40 @@ def main():
     cfg.local_ba.plane_eigen_value_thre = [4.0, 4.0, 4.0, 4.0]
     cfg.local_ba.imu_coef = 2e-4
     cfg.general.if_BA = 1
-    cfg.tpu.map_capacity = 1 << 15
-    cfg.tpu.fix_pool_capacity = 1 << 15
-    cfg.tpu.max_voxels_ba = 1024
-    cfg.tpu.max_new_voxels = 1024
-    runner = SlamRunner(cfg, npad_map=int(__import__("os").environ.get("NPAD", "3072")))
+    cfg.tpu.map_capacity = (1 << 16) if big else (1 << 15)
+    cfg.tpu.fix_pool_capacity = (1 << 16) if big else (1 << 15)
+    cfg.tpu.max_voxels_ba = 2048 if big else 1024
+    cfg.tpu.max_new_voxels = 4096 if big else 1024
+    if big:
+        cfg.tpu.refind_cap = 12288
+    runner = SlamRunner(cfg, npad_map=int(
+        _os.environ.get("NPAD", "8192" if big else "3072")))
 
-    warm = 0
-    split = len(frames)
-    for i, f in enumerate(frames):
-        out = runner.process_frame(f)
-        if not runner.motion_init_flag and out is not None:
-            warm += 1
-        if warm >= 10:
-            split = i + 1
-            break
+    split = None
+    if big:
+        import glob
+
+        from vina_slam_tpu.platform import checkpoint as ck
+        for path in sorted(glob.glob(_os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "bench_ckpt", "big_s4_*.npz"))):
+            try:
+                extras = ck.load_checkpoint(path, runner)
+                split = int(extras["split"])
+                print(f"warm-start from {path} (frame {split})", flush=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"ckpt {path} unusable: {e!r}", flush=True)
+    if split is None:
+        warm = 0
+        split = len(frames)
+        for i, f in enumerate(frames):
+            out = runner.process_frame(f)
+            if not runner.motion_init_flag and out is not None:
+                warm += 1
+            if warm >= 10:
+                split = i + 1
+                break
     runner.sync()
     rest = frames[split:]
     print(f"{len(rest)} frames to time")
