@@ -46,7 +46,10 @@ def make_batched_step(ms, W, Vmax, cfgs):
     def one(st, args):
         return fused.steady_step(st, *args, ms=ms, W=W, Vmax=Vmax, cfgs=cfgs)
 
-    return jax.jit(jax.vmap(one))
+    # donate the stacked state: undonated, every batched step COPIED all B
+    # full SteadyStates (~100 MB each) — measured 2.4 s/step at B=4 vs
+    # ~0.1 s donated (BENCH_VMAP first capture, BENCH.md round-5)
+    return jax.jit(jax.vmap(one), donate_argnums=(0,))
 
 
 def make_sharded_step(mesh: Mesh, ms, W, Vmax, cfgs):
