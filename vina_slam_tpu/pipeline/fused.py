@@ -127,6 +127,17 @@ def steady_step(
     (if_ba, npad_map, ba_iters, use_normal, use_vnc, point_notime,
      iekf_iters) = cfgs[:7]
     recut_defer = cfgs[7] if len(cfgs) > 7 else True
+    # assume_full (runner-set invariant): every fused step runs on a FULL
+    # window (the modular path handles warmup; post-init win_count is
+    # always W-1 entering a step), so the BA+margi+shift branch executes
+    # unconditionally instead of through a 0/1-iteration while_loop — an
+    # XLA while at map scale costs ~10 ms/scan in loop-state copies even
+    # at exactly one iteration (same pathology as the recut cascade; see
+    # voxel_map.recut "defer"). Eviction is likewise hoisted to the
+    # runner's drain cadence (a separate, rarely-dispatched program)
+    # instead of an in-step while. Non-runner callers (test fixtures with
+    # partially filled windows) omit the flag and keep both while_loops.
+    assume_full = cfgs[8] if len(cfgs) > 8 else False
     x = st.x
 
     # ---------------- EKF propagation + deskew ----------------
@@ -324,9 +335,13 @@ def steady_step(
 
     op = (m, pool0, xs, pre_f, win_pts, win_var, win_valid, win_slots,
           win_mom, x, st.jour, jnp.asarray(False))
-    (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots,
-     win_mom, x,
-     jour, _) = jax.lax.while_loop(lambda c: ~c[-1] & full, full_body, op)
+    if assume_full:
+        (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots,
+         win_mom, x, jour) = full_branch(op[:-1])
+    else:
+        (m, pool, xs, pre_f, win_pts, win_var, win_valid, win_slots,
+         win_mom, x,
+         jour, _) = jax.lax.while_loop(lambda c: ~c[-1] & full, full_body, op)
     win_count = jnp.where(full, win_count - 1, win_count)
     if stop_after in ("lm", "ba"):
         return st._replace(x=x, m=m, pool=pool, xs=xs, pre_f=pre_f,
@@ -343,27 +358,31 @@ def steady_step(
     jour = jnp.where(move, jour + spat.astype(jnp.float32), jour)
     last_pos = jnp.where(move, x.p, st.last_pos)
 
-    # 0/1-iteration while_loop, NOT lax.cond: a cond's untaken-identity
-    # branch copies the ~150 MB map + pool every non-evict scan, while an
-    # XLA while aliases its carry in place and runs zero iterations.
-    # Rebuild only when the table actually holds entries older than the
-    # release distance (the reference evicts on idle ticks and only frees
-    # stale voxels, local_mapping.cpp:317-344) — `jour > 700` alone would
-    # re-trigger the full-table rebuild on EVERY movement tick of a long run.
-    def evict_body(carry):
-        mm, pp, ws, wm, _ = carry
-        # the rebuild remaps every slot id: the cached window slots and the
-        # persistent moment table move with their voxels (points whose voxel
-        # was released drop to -1 / zero — consistent empty cells)
-        mm, pp, ws, wm = vm.evict(mm, pp, jour, params, ms,
-                                  win_slots=ws, win_mom=wm)
-        return mm, pp, ws, wm, jnp.asarray(True)
+    if not assume_full:
+        # 0/1-iteration while_loop, NOT lax.cond: a cond's untaken-identity
+        # branch copies the ~150 MB map + pool every non-evict scan.
+        # (Production — assume_full — hoists eviction OUT of the step: even
+        # a zero-iteration while costs ~10 ms/scan in loop-state copies at
+        # map scale, so the runner checks staleness at its drain cadence
+        # and dispatches vm.evict as a separate program, matching the
+        # reference's opportunistic idle-tick eviction,
+        # local_mapping.cpp:317-344.) Rebuild only when the table actually
+        # holds entries older than the release distance — `jour > 700`
+        # alone would re-trigger the rebuild on EVERY movement tick.
+        def evict_body(carry):
+            mm, pp, ws, wm, _ = carry
+            # the rebuild remaps every slot id: the cached window slots and
+            # the persistent moment table move with their voxels (points
+            # whose voxel was released drop to -1 / zero)
+            mm, pp, ws, wm = vm.evict(mm, pp, jour, params, ms,
+                                      win_slots=ws, win_mom=wm)
+            return mm, pp, ws, wm, jnp.asarray(True)
 
-    evictable = jnp.any((m.keys != vm.vh.EMPTY_KEY)
-                        & (jour - m.jour >= ms.evict_dist))
-    m, pool, win_slots, win_mom, evicted = jax.lax.while_loop(
-        lambda c: ~c[4] & move & evictable, evict_body,
-        (m, pool, win_slots, win_mom, jnp.asarray(False)))
+        evictable = jnp.any((m.keys != vm.vh.EMPTY_KEY)
+                            & (jour - m.jour >= ms.evict_dist))
+        m, pool, win_slots, win_mom, evicted = jax.lax.while_loop(
+            lambda c: ~c[4] & move & evictable, evict_body,
+            (m, pool, win_slots, win_mom, jnp.asarray(False)))
 
     # ---------------- trajectory ring ----------------
     row = jnp.concatenate([

@@ -68,6 +68,12 @@ def _var_init_jit(pts, ext_R, ext_p, dept_err, beam_err):
     return pointcov.var_init(ext_R, ext_p, pts, dept_err, beam_err)
 
 
+@jax.jit
+def _evict_needed(keys, vox_jour, jour, evict_dist):
+    """True iff the table holds entries older than the release distance."""
+    return jnp.any((keys != vm.vh.EMPTY_KEY) & (jour - vox_jour >= evict_dist))
+
+
 @partial(jax.jit, static_argnames=("ms", "W", "Np"))
 def _fresh_containers(ms: vm.MapStatic, W: int, Np: int):
     """Zero state for reset_containers as ONE program (see its comment)."""
@@ -278,6 +284,12 @@ class SlamRunner:
         self._traj_base = len(self.traj)
         self._fetched = 0
         self._cfgs = self.fused_static_cfgs()
+        if self.win_count != self.W - 1:
+            # the assume_full invariant (every fused step runs on a full
+            # window) holds on the normal post-init path; fall back to the
+            # guarded while_loop form if a caller enters fused mode with a
+            # partially filled window
+            self._cfgs = self._cfgs[:8] + (False,)
 
     def fused_static_cfgs(self):
         """STRUCTURE-only static tuple of the fused step; float tuning knobs
@@ -289,7 +301,8 @@ class SlamRunner:
         return (bool(self.cfg.general.if_BA), int(self.npad_map),
                 3 if use_normal else 10, use_normal,
                 bool(o.use_vnc), bool(o.point_notime), iekf_iters,
-                bool(self.cfg.tpu.recut_defer))
+                bool(self.cfg.tpu.recut_defer),
+                True)  # assume_full — guarded at _enter_fused
 
     def fused_program_key(self):
         """Everything that selects a compiled fused-step program: two
@@ -484,6 +497,23 @@ class SlamRunner:
         # copy, don't alias: the fused state is donated on the next step
         self.x_curr = jax.tree_util.tree_map(jnp.copy, self._fused.x)
         self.stats.degrade_cnt = int(self._fused.degrade_cnt)
+        # drain-cadence eviction (assume_full mode): the per-scan evict
+        # while_loop is hoisted out of the fused program — even at zero
+        # iterations it cost ~10 ms/scan in loop-state copies. Staleness is
+        # checked here (one tiny dispatch per drain) and the rebuild runs
+        # as its own program, matching the reference's opportunistic
+        # idle-tick eviction (local_mapping.cpp:317-344).
+        if len(self._cfgs) > 8 and self._cfgs[8]:
+            f = self._fused
+            stale = _evict_needed(f.m.keys, f.m.jour, f.jour,
+                                  jnp.asarray(self.ms.evict_dist, jnp.float32))
+            if bool(stale):
+                m2, pool2, ws2, wm2 = vm.evict(
+                    f.m, f.pool, f.jour, self.params, self.ms,
+                    win_slots=f.win_slots, win_mom=f.win_mom)
+                self._fused = f._replace(m=m2, pool=pool2, win_slots=ws2,
+                                         win_mom=wm2)
+                self.stats.evictions += 1
 
     # ------------------------------------------------------------- steady
     def _steady_step(self, frame: Frame, deskewed, cond_imu):
